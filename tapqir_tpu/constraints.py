@@ -1,0 +1,82 @@
+"""Constraint transforms between unconstrained optimizer space and parameter space.
+
+Variational parameters are optimized by Adam in unconstrained space, exactly
+like pyro.param's ``transform_to`` machinery (reference: pyro params with
+``constraint=`` in tapqir/models/cosmos.py:464-598). The transform choices
+mirror torch's ``transform_to`` registry so that optimization dynamics match:
+
+* positive          -> exp
+* unit_interval     -> sigmoid
+* interval(a, b)    -> a + (b - a) * sigmoid
+* greater_than(c)   -> c + exp
+* simplex           -> softmax over the last axis
+
+Each transform is a (forward, inverse) pair of pure jnp functions.
+"""
+
+from dataclasses import dataclass
+from typing import Callable
+
+import jax.numpy as jnp
+from jax.nn import sigmoid, softmax
+
+
+def _logit(p):
+    return jnp.log(p) - jnp.log1p(-p)
+
+
+@dataclass(frozen=True)
+class Transform:
+    """Bijective map unconstrained -> constrained (and back for init)."""
+
+    forward: Callable
+    inverse: Callable
+    name: str = ""
+
+    def __call__(self, u):
+        return self.forward(u)
+
+
+def positive() -> Transform:
+    return Transform(jnp.exp, jnp.log, "positive")
+
+
+def unit_interval() -> Transform:
+    return Transform(sigmoid, _logit, "unit_interval")
+
+
+def interval(low: float, high: float) -> Transform:
+    width = high - low
+
+    def fwd(u):
+        return low + width * sigmoid(u)
+
+    def inv(x):
+        return _logit((x - low) / width)
+
+    return Transform(fwd, inv, f"interval({low},{high})")
+
+
+def greater_than(lb: float) -> Transform:
+    def fwd(u):
+        return lb + jnp.exp(u)
+
+    def inv(x):
+        return jnp.log(x - lb)
+
+    return Transform(fwd, inv, f"greater_than({lb})")
+
+
+def simplex() -> Transform:
+    def fwd(u):
+        return softmax(u, axis=-1)
+
+    def inv(x):
+        # matches torch SoftmaxTransform inverse (log of normalized probs)
+        return jnp.log(x / x.sum(-1, keepdims=True))
+
+    return Transform(fwd, inv, "simplex")
+
+
+def identity() -> Transform:
+    return Transform(lambda u: u, lambda x: x, "identity")

@@ -1,0 +1,25 @@
+"""Test configuration: run on an 8-device virtual CPU mesh.
+
+Multi-chip sharding tests emulate devices per SURVEY.md section 4
+("multi-chip tests which on TPU can run under jax with 8 emulated devices").
+Must set flags before jax is imported anywhere.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the ambient env selects the TPU
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# double precision available for golden-value comparisons against scipy
+os.environ["JAX_ENABLE_X64"] = "1"
+
+# some pytest entry-point plugin may have imported jax already (before this
+# conftest); the backend is still uninitialized at collection time, so the
+# config can be updated directly.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
