@@ -1,0 +1,571 @@
+"""cosmos: multi-color time-independent colocalization model.
+
+TPU-native re-design of the reference model (tapqir/models/cosmos.py:28-784).
+The generative model and mean-field guide are identical in distributional
+form; the difference is architectural: instead of Pyro plates + TraceEnum
+effect handlers, the ELBO below marginalizes the discrete latents
+(z in {0..S}, theta in {0..K}, m in {0,1}^K - 12 joint configurations at the
+defaults) with explicit dense tables and logsumexp, entirely inside one
+jit-compiled function. Subsampled-plate scaling (Nt/nbatch * F/fbatch)
+reproduces Pyro's plate gradient scaling.
+
+Generative model (reference: cosmos.py:82-327):
+
+    gain ~ HalfNormal(gain_std)
+    pi ~ Dirichlet(1/(1+S)); lamda ~ Exponential(lamda_rate)
+    proximity ~ Exponential(proximity_rate)
+    per AOI:  background_mean, background_std ~ HalfNormal
+    per (AOI, frame, channel):
+        background ~ Gamma((bm/bs)^2, bm/bs^2)
+        z ~ Categorical(expand_offtarget(pi))    [off-target forced z=0]
+        theta ~ Categorical(probs_theta(z))
+        per spot k: m_k ~ Bernoulli(probs_m(lamda)[theta, k])
+            height ~ HalfNormal(height_std); width ~ AffineBeta(1.5, 2, ...)
+            x, y ~ AffineBeta(0, size(proximity, theta==k+1), +-(P+1)/2)
+        D ~ KSMOGN(...)
+
+Guide (reference: cosmos.py:329-462): mean-field with Delta(background_mean/
+std), Gamma(background, height), AffineBeta(width, x, y, proximity),
+Dirichlet(pi), Gamma(gain, lamda), and enumerated Bernoulli(m).
+"""
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.scipy.special import logsumexp
+
+from tapqir_tpu import constraints
+from tapqir_tpu.distributions.core import (
+    affine_beta_log_prob,
+    affine_beta_sample,
+    dirichlet_log_prob,
+    dirichlet_sample,
+    exponential_log_prob,
+    gamma_log_prob,
+    gamma_sample,
+    halfnormal_log_prob,
+)
+from tapqir_tpu.distributions.ksmogn import offset_gamma_log_prob
+from tapqir_tpu.distributions.util import gaussian_spots
+from tapqir_tpu.infer.discrete import (
+    log_probs_m,
+    log_probs_theta,
+    log_probs_z,
+    m_configs,
+)
+from tapqir_tpu.models.model import Model
+
+DEFAULT_PRIORS = {
+    "background_mean_std": 1000.0,
+    "background_std_std": 100.0,
+    "lamda_rate": 1.0,
+    "height_std": 10000.0,
+    "width_min": 0.75,
+    "width_max": 2.25,
+    "proximity_rate": 1.0,
+    "gain_std": 50.0,
+}
+
+
+class cosmos(Model):
+    r"""Multi-Color Time-Independent Colocalization Model.
+
+    Reference: Ordabayev YA, Friedman LJ, Gelles J, Theobald DL. Bayesian
+    machine learning analysis of single-molecule fluorescence colocalization
+    images. eLife. 2022. doi: 10.7554/eLife.73860.
+    """
+
+    name = "cosmos"
+
+    def __init__(self, S=1, K=2, Q=None, device=None, dtype="float32",
+                 use_pallas=None, priors=None, vectorized=True):
+        merged = dict(DEFAULT_PRIORS)
+        merged.update(priors or {})
+        super().__init__(
+            S=S, K=K, Q=Q, device=device, dtype=dtype,
+            use_pallas=use_pallas, priors=merged, vectorized=vectorized,
+        )
+        self._global_params = ["gain", "proximity", "lamda", "pi"]
+        self.conv_params = ["-ELBO", "proximity_loc", "gain_loc", "lamda_loc"]
+        self.ci_params = [
+            "gain", "pi", "lamda", "proximity",
+            "background", "height", "width", "x", "y",
+        ]
+
+    # -- variational parameters (reference: cosmos.py:464-598) ---------------
+    def param_spec(self):
+        data = self.data
+        K, Q, S = self.K, self.Q, self.S
+        Nt, F, C, P = data.Nt, data.F, data.C, data.P
+        eps = float(np.finfo(np.float32).eps)
+        lim = (P + 1) / 2
+        wmin, wmax = self.priors["width_min"], self.priors["width_max"]
+        bg_init = np.broadcast_to(
+            (data.median - data.offset.mean)[None, None, :], (Nt, 1, C)
+        )
+        b_init = np.broadcast_to(
+            (data.median - data.offset.mean)[None, None, :], (Nt, F, C)
+        )
+        spec = {
+            "pi_mean": (np.ones((Q, S + 1)) / (S + 1), constraints.simplex()),
+            "pi_size": (np.full((Q, 1), 2.0), constraints.positive()),
+            "m_probs": (np.full((K, Nt, F, Q), 0.5), constraints.unit_interval()),
+            "proximity_loc": (
+                np.array(0.5),
+                constraints.interval(0.0, (P + 1) / math.sqrt(12) - eps),
+            ),
+            "proximity_size": (np.array(100.0), constraints.greater_than(2.0)),
+            "lamda_loc": (np.full((Q,), 0.5), constraints.positive()),
+            "lamda_beta": (np.full((Q,), 100.0), constraints.positive()),
+            "gain_loc": (np.array(5.0), constraints.positive()),
+            "gain_beta": (np.array(100.0), constraints.positive()),
+            "background_mean_loc": (bg_init, constraints.positive()),
+            "background_std_loc": (np.ones((Nt, 1, C)), constraints.positive()),
+            "b_loc": (b_init, constraints.positive()),
+            "b_beta": (np.ones((Nt, F, C)), constraints.positive()),
+            "h_loc": (np.full((K, Nt, F, Q), 2000.0), constraints.positive()),
+            "h_beta": (np.full((K, Nt, F, Q), 0.001), constraints.positive()),
+            "w_mean": (
+                np.full((K, Nt, F, Q), 1.5),
+                constraints.interval(wmin + eps, wmax - eps),
+            ),
+            "w_size": (np.full((K, Nt, F, Q), 100.0), constraints.greater_than(2.0)),
+            "x_mean": (
+                np.zeros((K, Nt, F, Q)),
+                constraints.interval(-lim + eps, lim - eps),
+            ),
+            "y_mean": (
+                np.zeros((K, Nt, F, Q)),
+                constraints.interval(-lim + eps, lim - eps),
+            ),
+            "size": (np.full((K, Nt, F, Q), 200.0), constraints.greater_than(2.0)),
+        }
+        return spec
+
+    # -- ELBO -----------------------------------------------------------------
+    def elbo(self, pc, key, data):
+        Nt, F = self.data.Nt, self.data.F
+        n, f = self.nbatch_size, self.fbatch_size
+        k_n, k_f, k_rest = jax.random.split(key, 3)
+        ndx = jax.random.permutation(k_n, Nt)[:n]
+        fdx = jax.random.permutation(k_f, F)[:f]
+        scale = (Nt / n) * (F / f)
+        scale_n = Nt / n
+        local, aoi_term, global_term = self._elbo_terms(pc, k_rest, ndx, fdx, data)
+        return global_term + aoi_term * scale_n + local * scale
+
+    def _elbo_terms(self, pc, key, ndx, fdx, data):
+        """Returns (sum of local per-(n,f,c) terms, sum of per-AOI terms,
+        global term) for the given batch indices."""
+        S, K, Q = self.S, self.K, self.Q
+        P = self.data.P
+        dtype = self.dtype
+        priors = self.priors
+        lim = (P + 1) / 2
+        wmin, wmax = priors["width_min"], priors["width_max"]
+        prox_high = (P + 1) / math.sqrt(12)
+
+        keys = jax.random.split(key, 9)
+
+        # ---- batch gathers ----------------------------------------------------
+        def g2(a):  # (Nt, F, C) -> (n, f, C)
+            return jnp.take(jnp.take(a, ndx, 0), fdx, 1)
+
+        def gk(a):  # (K, Nt, F, Q) -> (n, f, Q, K)
+            return jnp.moveaxis(jnp.take(jnp.take(a, ndx, 1), fdx, 2), 0, -1)
+
+        obs = g2(data["images"])  # (n, f, C, P, P)
+        target_locs = g2(data["xy"])  # (n, f, C, 2)
+        ont = jnp.take(data["is_ontarget"], ndx)  # (n,)
+        mask = jnp.take(data["mask"], ndx)  # (n,)
+
+        # ---- global samples + ELBO terms ---------------------------------------
+        gain_conc = pc["gain_loc"] * pc["gain_beta"]
+        gain = gamma_sample(keys[0], gain_conc, pc["gain_beta"])
+        pi_conc = pc["pi_mean"] * pc["pi_size"]
+        pi = dirichlet_sample(keys[1], pi_conc)  # (Q, S+1)
+        lamda_conc = pc["lamda_loc"] * pc["lamda_beta"]
+        lamda = gamma_sample(keys[2], lamda_conc, pc["lamda_beta"])  # (Q,)
+        prox = affine_beta_sample(
+            keys[3], pc["proximity_loc"], pc["proximity_size"], 0.0, prox_high
+        )
+
+        global_term = (
+            halfnormal_log_prob(gain, priors["gain_std"])
+            - gamma_log_prob(gain, gain_conc, pc["gain_beta"])
+            + (
+                dirichlet_log_prob(pi, jnp.full((Q, S + 1), 1.0 / (S + 1), dtype))
+                - dirichlet_log_prob(pi, pi_conc)
+            ).sum()
+            + (
+                exponential_log_prob(lamda, priors["lamda_rate"])
+                - gamma_log_prob(lamda, lamda_conc, pc["lamda_beta"])
+            ).sum()
+            + exponential_log_prob(prox, priors["proximity_rate"])
+            - affine_beta_log_prob(
+                prox, pc["proximity_loc"], pc["proximity_size"], 0.0, prox_high
+            )
+        )
+        global_term = self._extra_global_terms(pc, keys[8], global_term)
+
+        # ---- per-AOI Delta sites (MAP background hyper-params) -------------------
+        bm = jnp.take(pc["background_mean_loc"], ndx, 0)[:, 0, :]  # (n, C)
+        bs = jnp.take(pc["background_std_loc"], ndx, 0)[:, 0, :]
+        aoi_term = (
+            (
+                halfnormal_log_prob(bm, priors["background_mean_std"])
+                + halfnormal_log_prob(bs, priors["background_std_std"])
+            )
+            * mask[:, None]
+        ).sum()
+
+        # ---- local continuous: background -------------------------------------------
+        b_loc, b_beta = g2(pc["b_loc"]), g2(pc["b_beta"])
+        b = gamma_sample(keys[4], b_loc * b_beta, b_beta)  # (n, f, C)
+        lp_b = gamma_log_prob(
+            b, (bm / bs)[:, None, :] ** 2, (bm / bs**2)[:, None, :]
+        )
+        lq_b = gamma_log_prob(b, b_loc * b_beta, b_beta)
+
+        # ---- local continuous: spot shapes -----------------------------------------
+        h_loc, h_beta = gk(pc["h_loc"]), gk(pc["h_beta"])  # (n, f, Q, K)
+        w_mean, w_size = gk(pc["w_mean"]), gk(pc["w_size"])
+        x_mean, y_mean = gk(pc["x_mean"]), gk(pc["y_mean"])
+        size = gk(pc["size"])
+        qm = gk(pc["m_probs"])
+
+        h = gamma_sample(keys[5], h_loc * h_beta, h_beta)
+        w = affine_beta_sample(keys[6], w_mean, w_size, wmin, wmax)
+        k_x, k_y = jax.random.split(keys[7])
+        xs = affine_beta_sample(k_x, x_mean, size, -lim, lim)
+        ys = affine_beta_sample(k_y, y_mean, size, -lim, lim)
+
+        local = self._local_marginalized(
+            pc, obs, target_locs, ont, gain, pi, lamda, prox, b,
+            h, w, xs, ys, qm,
+            h_loc, h_beta, w_mean, w_size, x_mean, y_mean, size,
+            data,
+        )
+        local_sum = ((local + lp_b - lq_b) * mask[:, None, None]).sum()
+        return local_sum, aoi_term, global_term
+
+    def _extra_global_terms(self, pc, key, global_term):
+        """Hook for subclasses (crosstalk alpha, hmm init/trans)."""
+        return global_term
+
+    def _local_marginalized(
+        self, pc, obs, target_locs, ont, gain, pi, lamda, prox, b,
+        h, w, xs, ys, qm,
+        h_loc, h_beta, w_mean, w_size, x_mean, y_mean, size, data,
+    ):
+        """E_q(m)[ log-marginal over (z, theta) + spot priors + likelihood
+        - guide terms ], per (n, f, c). All spot tensors are (n, f, Q, K)."""
+        S, K, Q = self.S, self.K, self.Q
+        P = self.data.P
+        dtype = self.dtype
+        priors = self.priors
+        lim = (P + 1) / 2
+        wmin, wmax = priors["width_min"], priors["width_max"]
+
+        mtab = jnp.asarray(m_configs(K), dtype)  # (M, K)
+
+        # discrete tables
+        lpz = log_probs_z(pi, ont)  # (n, Q, 1+S)
+        lpt = log_probs_theta(K, S, dtype)  # (1+S, 1+K)
+        lpm1, lpm0 = log_probs_m(lamda, K)  # (Q, 1+K, K)
+        log_pm_sum = jnp.einsum("mk,qtk->mtq", mtab, lpm1) + jnp.einsum(
+            "mk,qtk->mtq", 1.0 - mtab, lpm0
+        )  # (M, 1+K, Q)
+
+        # x/y priors under non-specific (size=2) and specific (size from proximity)
+        size_sp = ((P + 1) / (2 * prox)) ** 2 - 1.0
+        lpxy_ns = affine_beta_log_prob(xs, 0.0, 2.0, -lim, lim) + affine_beta_log_prob(
+            ys, 0.0, 2.0, -lim, lim
+        )  # (n, f, Q, K)
+        lpxy_sp = affine_beta_log_prob(
+            xs, 0.0, size_sp, -lim, lim
+        ) + affine_beta_log_prob(ys, 0.0, size_sp, -lim, lim)
+        spec_tk = jnp.asarray(
+            np.arange(1 + K)[:, None] == 1 + np.arange(K), bool
+        )  # (1+K, K)
+        lpxy_t = jnp.where(
+            spec_tk[:, None, None, None, :], lpxy_sp[None], lpxy_ns[None]
+        )  # (1+K, n, f, Q, K)
+        term_xy = jnp.einsum("mk,tnfqk->mtnfq", mtab, lpxy_t)  # (M, 1+K, n, f, Q)
+
+        # joint table over (m-config, z, theta) -> logsumexp over z, theta
+        T_full = (
+            lpz.transpose(2, 0, 1)[None, :, None, :, None, :]  # (1, Z, 1, n, 1, Q)
+            + lpt[None, :, :, None, None, None]  # (1, Z, T, 1, 1, 1)
+            + log_pm_sum[:, None, :, None, None, :]  # (M, 1, T, 1, 1, Q)
+            + term_xy[:, None]  # (M, 1, T, n, f, Q)
+        )
+        inner = logsumexp(T_full, axis=(1, 2))  # (M, n, f, Q)
+
+        # spot priors that do not depend on (z, theta)
+        lph = halfnormal_log_prob(h, priors["height_std"])
+        lpw = affine_beta_log_prob(w, 1.5, 2.0, wmin, wmax)
+        term_hw = jnp.einsum("mk,nfqk->mnfq", mtab, lph + lpw)
+
+        # likelihood per m-config
+        gauss = gaussian_spots(h, w, xs, ys, target_locs, P)  # (n, f, C, K, P, P)
+        img = b[..., None, None] + jnp.einsum("mk,nfckij->mnfcij", mtab, gauss)
+        loglik = offset_gamma_log_prob(
+            obs, img / gain, 1.0 / gain,
+            data["offset_samples"], data["offset_logits"], self.use_pallas,
+        ).sum((-2, -1))  # (M, n, f, C)
+
+        # guide terms
+        log_qm = jnp.einsum("mk,nfqk->mnfq", mtab, jnp.log(qm)) + jnp.einsum(
+            "mk,nfqk->mnfq", 1.0 - mtab, jnp.log1p(-qm)
+        )  # (M, n, f, Q)
+        wq = jnp.exp(log_qm)
+        lqh = gamma_log_prob(h, h_loc * h_beta, h_beta)
+        lqw = affine_beta_log_prob(w, w_mean, w_size, wmin, wmax)
+        lqx = affine_beta_log_prob(xs, x_mean, size, -lim, lim)
+        lqy = affine_beta_log_prob(ys, y_mean, size, -lim, lim)
+        term_q = jnp.einsum("mk,nfqk->mnfq", mtab, lqh + lqw + lqx + lqy)
+
+        return (wq * (inner + term_hw + loglik - log_qm - term_q)).sum(0)  # (n, f, Q)
+
+    # -- posterior probabilities (reference: cosmos.py:609-672) ----------------
+    def _probs_batch(self, pc, key, ndx, fdx, data, num_particles):
+        """z/theta posterior marginals for one (AOI, frame) block, averaged
+        over ``num_particles`` guide samples."""
+        S, K, Q = self.S, self.K, self.Q
+        P = self.data.P
+        dtype = self.dtype
+        lim = (P + 1) / 2
+        prox_high = (P + 1) / math.sqrt(12)
+
+        def gk(a):
+            return jnp.moveaxis(jnp.take(jnp.take(a, ndx, 1), fdx, 2), 0, -1)
+
+        ont = jnp.take(data["is_ontarget"], ndx)
+        x_mean, y_mean, size = gk(pc["x_mean"]), gk(pc["y_mean"]), gk(pc["size"])
+        qm = gk(pc["m_probs"])
+        mtab = jnp.asarray(m_configs(K), dtype)
+        lpt = log_probs_theta(K, S, dtype)
+
+        def one_particle(k):
+            ks = jax.random.split(k, 5)
+            pi = dirichlet_sample(ks[0], pc["pi_mean"] * pc["pi_size"])
+            lamda = gamma_sample(
+                ks[1], pc["lamda_loc"] * pc["lamda_beta"], pc["lamda_beta"]
+            )
+            prox = affine_beta_sample(
+                ks[2], pc["proximity_loc"], pc["proximity_size"], 0.0, prox_high
+            )
+            xs = affine_beta_sample(ks[3], x_mean, size, -lim, lim)
+            ys = affine_beta_sample(ks[4], y_mean, size, -lim, lim)
+
+            lpz = log_probs_z(pi, ont)
+            lpm1, lpm0 = log_probs_m(lamda, K)
+            log_pm_sum = jnp.einsum("mk,qtk->mtq", mtab, lpm1) + jnp.einsum(
+                "mk,qtk->mtq", 1.0 - mtab, lpm0
+            )
+            size_sp = ((P + 1) / (2 * prox)) ** 2 - 1.0
+            lpxy_ns = affine_beta_log_prob(
+                xs, 0.0, 2.0, -lim, lim
+            ) + affine_beta_log_prob(ys, 0.0, 2.0, -lim, lim)
+            lpxy_sp = affine_beta_log_prob(
+                xs, 0.0, size_sp, -lim, lim
+            ) + affine_beta_log_prob(ys, 0.0, size_sp, -lim, lim)
+            spec_tk = jnp.asarray(
+                np.arange(1 + K)[:, None] == 1 + np.arange(K), bool
+            )
+            lpxy_t = jnp.where(
+                spec_tk[:, None, None, None, :], lpxy_sp[None], lpxy_ns[None]
+            )
+            term_xy = jnp.einsum("mk,tnfqk->mtnfq", mtab, lpxy_t)
+
+            T_full = (
+                lpz.transpose(2, 0, 1)[None, :, None, :, None, :]
+                + lpt[None, :, :, None, None, None]
+                + log_pm_sum[:, None, :, None, None, :]
+                + term_xy[:, None]
+            )  # (M, Z, T, n, f, Q)
+            # p(z, theta | m, phi), then expectation over q(m)
+            log_qm = jnp.einsum("mk,nfqk->mnfq", mtab, jnp.log(qm)) + jnp.einsum(
+                "mk,nfqk->mnfq", 1.0 - mtab, jnp.log1p(-qm)
+            )
+            T_norm = T_full - logsumexp(T_full, axis=(1, 2), keepdims=True)
+            r = logsumexp(
+                T_norm + log_qm[:, None, None], axis=0
+            )  # (Z, T, n, f, Q)
+            z_p = jnp.exp(logsumexp(r, axis=1))  # (Z, n, f, Q)
+            th_p = jnp.exp(logsumexp(r, axis=0))[1:]  # (K, n, f, Q)
+            return z_p, th_p
+
+        keys = jax.random.split(key, num_particles)
+        z_p, th_p = jax.vmap(one_particle)(keys)
+        return z_p.mean(0), th_p.mean(0)
+
+    def compute_probs_arrays(self, num_particles=50, key=None):
+        """Full-dataset z_probs (Nt, F, Q, 1+S) and theta_probs (K, Nt, F, Q).
+
+        Like the reference (cosmos.py:609-672), only on-target AOIs are
+        evaluated (off-target rows stay zero) in (nbatch x fbatch) blocks.
+        """
+        data = self._data_dev
+        pc = self.constrained()
+        key = jax.random.PRNGKey(0) if key is None else key
+        Nt, F, Q = self.data.Nt, self.data.F, self.Q
+        N = self.data.N
+        nb, fb = self.nbatch_size, self.fbatch_size
+        z_probs = np.zeros((Nt, F, Q, 1 + self.S), np.float64)
+        theta_probs = np.zeros((self.K, Nt, F, Q), np.float64)
+
+        fn = jax.jit(
+            partial(self._probs_batch, num_particles=num_particles),
+            static_argnames=(),
+        )
+        for n0 in range(0, N, nb):
+            ndx_np = np.arange(n0, min(n0 + nb, N))
+            for f0 in range(0, F, fb):
+                fdx_np = np.arange(f0, min(f0 + fb, F))
+                # pad to full block size for a single compiled shape
+                ndx = np.pad(ndx_np, (0, nb - len(ndx_np)), mode="edge")
+                fdx = np.pad(fdx_np, (0, fb - len(fdx_np)), mode="edge")
+                key, sub = jax.random.split(key)
+                z_p, th_p = fn(pc, sub, jnp.asarray(ndx), jnp.asarray(fdx), data)
+                z_p = np.asarray(z_p, np.float64)  # (Z, n, f, Q)
+                th_p = np.asarray(th_p, np.float64)  # (K, n, f, Q)
+                z_probs[ndx_np[:, None], fdx_np, :, :] = z_p[
+                    :, : len(ndx_np), : len(fdx_np)
+                ].transpose(1, 2, 3, 0)
+                theta_probs[:, ndx_np[:, None], fdx_np, :] = th_p[
+                    :, : len(ndx_np), : len(fdx_np)
+                ]
+        return z_probs, theta_probs
+
+    # -- posterior summaries (reference: cosmos.py:674-784) ---------------------
+    @property
+    def compute_probs(self):
+        if not hasattr(self, "_probs_cache"):
+            self._probs_cache = self.compute_probs_arrays()
+        return self._probs_cache
+
+    @property
+    def z_probs(self):
+        r"""Probability of a target-specific spot, p(z) of shape (Nt, F, Q, 1+S)."""
+        return self.compute_probs[0]
+
+    @property
+    def theta_probs(self):
+        r"""Posterior q(theta = k), shape (K, Nt, F, Q)."""
+        return self.compute_probs[1]
+
+    @property
+    def m_probs(self):
+        r"""Posterior spot presence q(m = 1), shape (K, Nt, F, Q)."""
+        return self.param("m_probs")
+
+    @property
+    def pspecific(self):
+        return self.z_probs
+
+    @property
+    def z_map(self):
+        return np.argmax(self.z_probs, axis=-1)
+
+    def z_sample(self, num_samples, key=None):
+        """Sample z trajectories from the posterior marginals
+        (reference: cosmos.py:706-709)."""
+        key = jax.random.PRNGKey(11) if key is None else key
+        probs = self.params_stats["z_probs"][: self.data.N]
+        return np.asarray(
+            jax.random.categorical(
+                key, jnp.log(jnp.clip(jnp.asarray(probs), 1e-30, None)),
+                shape=(num_samples,) + probs.shape[:-1],
+            )
+        )
+
+    def compute_params(self, CI):
+        """Credible intervals for ci_params from the fitted guide
+        (reference: cosmos.py:711-784)."""
+        from tapqir_tpu.utils.stats import ci_from_scipy
+
+        P = self.data.P
+        lim = (P + 1) / 2
+        wmin, wmax = self.priors["width_min"], self.priors["width_max"]
+        params = {}
+        for param in self.ci_params:
+            if param == "gain":
+                params[param] = ci_from_scipy(
+                    "gamma", CI,
+                    concentration=self.param("gain_loc") * self.param("gain_beta"),
+                    rate=self.param("gain_beta"),
+                )
+            elif param == "alpha":
+                params[param] = ci_from_scipy(
+                    "dirichlet", CI,
+                    concentration=self.param("alpha_mean") * self.param("alpha_size"),
+                )
+            elif param == "pi":
+                params[param] = ci_from_scipy(
+                    "dirichlet", CI,
+                    concentration=self.param("pi_mean") * self.param("pi_size"),
+                )
+            elif param == "init":
+                params[param] = ci_from_scipy(
+                    "dirichlet", CI,
+                    concentration=self.param("init_mean") * self.param("init_size"),
+                )
+            elif param == "trans":
+                params[param] = ci_from_scipy(
+                    "dirichlet", CI,
+                    concentration=self.param("trans_mean") * self.param("trans_size"),
+                )
+            elif param == "lamda":
+                params[param] = ci_from_scipy(
+                    "gamma", CI,
+                    concentration=self.param("lamda_loc") * self.param("lamda_beta"),
+                    rate=self.param("lamda_beta"),
+                )
+            elif param == "proximity":
+                params[param] = ci_from_scipy(
+                    "affine_beta", CI,
+                    mean=self.param("proximity_loc"),
+                    sample_size=self.param("proximity_size"),
+                    low=0.0, high=(P + 1) / math.sqrt(12),
+                )
+            elif param == "background":
+                params[param] = ci_from_scipy(
+                    "gamma", CI,
+                    concentration=self.param("b_loc") * self.param("b_beta"),
+                    rate=self.param("b_beta"),
+                )
+            elif param == "height":
+                params[param] = ci_from_scipy(
+                    "gamma", CI,
+                    concentration=self.param("h_loc") * self.param("h_beta"),
+                    rate=self.param("h_beta"),
+                )
+            elif param == "width":
+                params[param] = ci_from_scipy(
+                    "affine_beta", CI,
+                    mean=self.param("w_mean"), sample_size=self.param("w_size"),
+                    low=wmin, high=wmax,
+                )
+            elif param == "x":
+                params[param] = ci_from_scipy(
+                    "affine_beta", CI,
+                    mean=self.param("x_mean"), sample_size=self.param("size"),
+                    low=-lim, high=lim,
+                )
+            elif param == "y":
+                params[param] = ci_from_scipy(
+                    "affine_beta", CI,
+                    mean=self.param("y_mean"), sample_size=self.param("size"),
+                    low=-lim, high=lim,
+                )
+        params["m_probs"] = self.m_probs
+        params["z_probs"] = self.z_probs
+        params["theta_probs"] = self.theta_probs
+        params["z_map"] = self.z_map
+        params["p_specific"] = params["theta_probs"].sum(0)
+        return params

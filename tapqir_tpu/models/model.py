@@ -1,0 +1,428 @@
+"""Model base class: SVI lifecycle on TPU.
+
+TPU-native re-design of the reference's Model base
+(tapqir/models/model.py:31-371). The train loop is a jit-compiled
+``lax.scan`` over checkpoint-interval chunks (200 steps per host round-trip)
+instead of one Python-dispatched step per iteration; parameters are a flat
+dict of unconstrained arrays optimized by optax Adam, mirroring pyro.param's
+``transform_to`` semantics.
+
+Retained reference behaviors:
+
+* checkpoint every 200 iterations with rolling-window convergence test
+  std(last 100 ckpts) / std(last 50 ckpts) < 1.05 on -ELBO and conv_params
+  (reference: model.py:262-270);
+* NaN parameters -> reload last checkpoint, reseed RNG, continue
+  (reference: model.py:220-232, 246-250);
+* device OOM -> typed exception with batch-size advice (model.py:233-235).
+"""
+
+import json
+import logging
+import random
+from pathlib import Path
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tapqir_tpu import __version__ as tapqir_version
+from tapqir_tpu.exceptions import TapqirFileNotFoundError, TpuOutOfMemoryError
+from tapqir_tpu.utils.dataset import load as load_dataset
+
+logger = logging.getLogger(__name__)
+
+CHECKPOINT_INTERVAL = 200  # reference: model.py:213-214
+
+
+def _default_progress(it):
+    try:
+        from tqdm import tqdm
+
+        return tqdm(it)
+    except ImportError:  # pragma: no cover
+        return it
+
+
+_DTYPES = {
+    "float": jnp.float32,
+    "float32": jnp.float32,
+    "single": jnp.float32,
+    "double": jnp.float64,
+    "float64": jnp.float64,
+    "bfloat16": jnp.bfloat16,
+}
+
+
+class Model:
+    """Base class for tapqir-tpu models.
+
+    Derived models must implement:
+
+    * :meth:`param_spec` - variational parameter shapes/inits/transforms
+    * :meth:`elbo` - the marginalized ELBO for one random minibatch
+    * :meth:`compute_probs_arrays` - posterior z/theta probabilities
+    """
+
+    name = "base"
+
+    def __init__(
+        self,
+        S: int = 1,
+        K: int = 2,
+        Q: Optional[int] = None,
+        device: Optional[str] = None,
+        dtype: str = "float32",
+        use_pallas: Optional[bool] = None,
+        priors: Optional[dict] = None,
+        vectorized: bool = True,
+    ):
+        self.S = S
+        self.K = K
+        self._Q = Q
+        self.priors = dict(priors or {})
+        self.use_pallas = use_pallas
+        self.vectorized = vectorized
+        self.nbatch_size = None
+        self.fbatch_size = None
+        self.n = None  # fixed AOI subset (plotting/stats), as in the reference
+        self.f = None
+        self.data_path = None
+        self.path = None
+        self.run_path = None
+        self.dtype = _DTYPES[dtype]
+        if device == "cpu":
+            self.device = jax.devices("cpu")[0]
+        elif device in ("tpu", "cuda", "gpu"):
+            self.device = jax.devices()[0]
+        else:
+            self.device = None  # default placement
+
+    # -- data ----------------------------------------------------------------
+    @property
+    def Q(self):
+        return self._Q or self.data.C
+
+    def load(self, path: Union[str, Path], data_only: bool = True) -> None:
+        """Load data (and optionally saved fit results) from an analysis folder."""
+        self.path = Path(path)
+        self.run_path = self.path / ".tapqir"
+        self.data = load_dataset(self.path)
+        logger.debug(f"Loaded data from {self.path / 'data.tpqr'}")
+        if not data_only:
+            params_path = self.path / f"{self.name}_params.tpqr"
+            if not params_path.exists():
+                raise TapqirFileNotFoundError("parameter", params_path)
+            with np.load(params_path, allow_pickle=True) as z:
+                self.params_stats = {k: z[k] for k in z.files}
+            import pandas as pd
+
+            summary_path = self.path / f"{self.name}_summary.csv"
+            if not summary_path.exists():
+                raise TapqirFileNotFoundError("summary", summary_path)
+            self.summary = pd.read_csv(summary_path, index_col=0)
+
+    def _data_device_arrays(self):
+        d = self.data
+        dt = self.dtype
+        arrays = dict(
+            images=jnp.asarray(d.images, dt),
+            xy=jnp.asarray(d.xy, dt),
+            is_ontarget=jnp.asarray(d.is_ontarget, jnp.int32),
+            mask=jnp.asarray(d.mask, dt),
+            offset_samples=jnp.asarray(d.offset.samples, dt),
+            offset_logits=jnp.asarray(d.offset.logits, dt),
+        )
+        if self.device is not None:
+            arrays = {k: jax.device_put(v, self.device) for k, v in arrays.items()}
+        return arrays
+
+    # -- to be provided by subclasses -----------------------------------------
+    def param_spec(self) -> dict:
+        """name -> (init_constrained_value: np.ndarray, Transform)."""
+        raise NotImplementedError
+
+    def elbo(self, pc: dict, key, data: dict):
+        """Marginalized ELBO estimate for one random minibatch."""
+        raise NotImplementedError
+
+    def compute_probs_arrays(self, num_particles=50, key=None):
+        raise NotImplementedError
+
+    # -- parameters -------------------------------------------------------------
+    def init_parameters(self):
+        spec = self.param_spec()
+        self._transforms = {k: t for k, (v, t) in spec.items()}
+        self.params = {
+            k: jnp.asarray(t.inverse(np.asarray(v, np.float64)), self.dtype)
+            for k, (v, t) in spec.items()
+        }
+
+    def constrained(self, params=None) -> dict:
+        params = self.params if params is None else params
+        return {k: self._transforms[k](v) for k, v in params.items()}
+
+    def param(self, name):
+        """Constrained value of a variational parameter (pyro.param analog)."""
+        return np.asarray(self._transforms[name](self.params[name]))
+
+    # -- SVI ----------------------------------------------------------------------
+    def init(
+        self,
+        lr: float = 0.005,
+        nbatch_size: int = 5,
+        fbatch_size: int = 512,
+        jit: bool = True,
+    ) -> None:
+        """Initialize the SVI state (reference: model.py:153-186)."""
+        self.lr = lr
+        self.nbatch_size = min(nbatch_size, self.data.Nt)
+        self.fbatch_size = min(fbatch_size, self.data.F)
+        self.tx = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+        self._data_dev = self._data_device_arrays()
+
+        # build transforms regardless (needed to interpret checkpoints)
+        spec = self.param_spec()
+        self._transforms = {k: t for k, (v, t) in spec.items()}
+
+        try:
+            self.load_checkpoint()
+        except TapqirFileNotFoundError:
+            self.init_parameters()
+            self.iter = 0
+            self.converged = False
+            self._rolling = {}
+            self.opt_state = self.tx.init(self.params)
+
+        self._key = jax.random.PRNGKey(0)
+        self._jit = jit
+        self._build_step()
+
+    def _build_step(self):
+        transforms = self._transforms
+
+        def loss_fn(params_u, key):
+            pc = {k: transforms[k](v) for k, v in params_u.items()}
+            return -self.elbo(pc, key, self._data_dev)
+
+        def one_step(carry, key):
+            params_u, opt_state = carry
+            loss, grads = jax.value_and_grad(loss_fn)(params_u, key)
+            updates, opt_state = self.tx.update(grads, opt_state)
+            params_u = optax.apply_updates(params_u, updates)
+            return (params_u, opt_state), loss
+
+        def run_chunk(params_u, opt_state, key, nsteps):
+            keys = jax.random.split(key, nsteps)
+            (params_u, opt_state), losses = jax.lax.scan(
+                one_step, (params_u, opt_state), keys
+            )
+            return params_u, opt_state, losses
+
+        if self._jit:
+            self._run_chunk = jax.jit(run_chunk, static_argnums=(3,))
+        else:
+            self._run_chunk = run_chunk
+
+    def run(self, num_iter: int = 0, progress_bar=None) -> None:
+        """Run SVI until ``num_iter`` or convergence (reference: model.py:188-237)."""
+        use_crit = num_iter == 0
+        if use_crit:
+            num_iter = 100000
+
+        logger.debug(f"tapqir-tpu version - {tapqir_version}")
+        logger.debug(f"Model - {self.name}")
+        logger.debug(f"Backend - {jax.default_backend()}")
+        logger.debug(f"Floating precision - {self.dtype.__name__}")
+        logger.debug(f"Optimizer - Adam, lr {self.lr}")
+        logger.debug(f"AOI batch size - {self.nbatch_size}")
+        logger.debug(f"Frame batch size - {self.fbatch_size}")
+
+        if progress_bar is None:
+            progress_bar = _default_progress
+        remaining = num_iter
+        pbar = progress_bar(range(num_iter))
+        pbar_iter = iter(pbar)
+
+        while remaining > 0:
+            chunk = min(CHECKPOINT_INTERVAL, remaining)
+            try:
+                self._key, sub = jax.random.split(self._key)
+                params, opt_state, losses = self._run_chunk(
+                    self.params, self.opt_state, sub, chunk
+                )
+                losses = np.asarray(losses)
+                if not np.isfinite(losses).all():
+                    raise ValueError(
+                        f"Iteration #{self.iter}. Detected NaN/Inf loss values"
+                    )
+                self.params, self.opt_state = params, opt_state
+                self.iter += chunk
+                remaining -= chunk
+                self.iter_loss = float(losses[-1])
+                for _ in range(chunk):
+                    next(pbar_iter, None)
+                if hasattr(pbar, "set_postfix"):
+                    pbar.set_postfix({"-ELBO": f"{self.iter_loss:.1f}"})
+                self.save_checkpoint()
+                if use_crit and self.converged:
+                    logger.info(f"Iteration #{self.iter} model converged.")
+                    break
+            except ValueError as err:
+                logger.warning(str(err))
+                # reload last checkpoint + reseed (reference: model.py:220-232)
+                self.init(
+                    lr=self.lr,
+                    nbatch_size=self.nbatch_size,
+                    fbatch_size=self.fbatch_size,
+                    jit=self._jit,
+                )
+                new_seed = random.randint(0, 100)
+                self._key = jax.random.PRNGKey(new_seed)
+                logger.warning(
+                    f"Iteration #{self.iter} restarting with a new seed: {new_seed}."
+                )
+            except RuntimeError as err:
+                if "RESOURCE_EXHAUSTED" in str(err) or "out of memory" in str(err).lower():
+                    raise TpuOutOfMemoryError() from err
+                raise
+        else:
+            if use_crit:
+                logger.warning(f"Iteration #{self.iter} model has not converged.")
+
+    # -- checkpointing --------------------------------------------------------
+    @property
+    def _checkpoint_path(self):
+        return self.run_path / f"{self.name}_model.tpqr"
+
+    def save_checkpoint(self, writer=None):
+        """Checkpoint params + optimizer + convergence state
+        (reference: model.py:239-323)."""
+        # NaN guard (reference: model.py:246-250)
+        for k, v in self.params.items():
+            if not bool(jnp.isfinite(v).all()):
+                raise ValueError(
+                    f"Iteration #{self.iter}. Detected NaN values in {k}"
+                )
+
+        # update rolling convergence series (constrained values, as pyro does)
+        rolling_max = 100
+        for name in self.conv_params:
+            if name == "-ELBO":
+                series = self._rolling.setdefault("-ELBO", [])
+                series.append(float(self.iter_loss))
+            else:
+                val = self.param(name)
+                if val.ndim == 1:
+                    for i in range(len(val)):
+                        self._rolling.setdefault(f"{name}_{i}", []).append(
+                            float(val[i])
+                        )
+                else:
+                    self._rolling.setdefault(name, []).append(float(val))
+        for k in self._rolling:
+            self._rolling[k] = self._rolling[k][-rolling_max:]
+
+        # convergence criterion (reference: model.py:262-270)
+        self.converged = False
+        if len(self._rolling["-ELBO"]) == rolling_max:
+            crit = all(
+                np.std(v, ddof=1) / np.std(v[-50:], ddof=1) < 1.05
+                for v in self._rolling.values()
+            )
+            if crit:
+                self.converged = True
+
+        # serialize
+        self.run_path.mkdir(parents=True, exist_ok=True)
+        flat = {}
+        for k, v in self.params.items():
+            flat[f"p::{k}"] = np.asarray(v)
+        adam_state = self.opt_state[0]
+        for k, v in adam_state.mu.items():
+            flat[f"mu::{k}"] = np.asarray(v)
+        for k, v in adam_state.nu.items():
+            flat[f"nu::{k}"] = np.asarray(v)
+        flat["count"] = np.asarray(adam_state.count)
+        meta = {
+            "iter": self.iter,
+            "rolling": self._rolling,
+            "convergence_status": bool(self.converged),
+            "version": tapqir_version,
+        }
+        flat["meta"] = np.frombuffer(json.dumps(meta).encode(), np.uint8)
+        with open(self._checkpoint_path, "wb") as f:
+            np.savez(f, **flat)
+
+        self._log_metrics()
+        logger.debug(f"Iteration #{self.iter}: Successful.")
+
+    def _log_metrics(self):
+        """Append scalar metrics to a CSV (TensorBoard-scalar analog,
+        reference: model.py:285-298)."""
+        log_dir = self.run_path / "logs" / self.name
+        log_dir.mkdir(parents=True, exist_ok=True)
+        csv_path = log_dir / "metrics.csv"
+        scalars = {"iter": self.iter, "-ELBO": self.iter_loss}
+        for name in self._transforms:
+            val = self.param(name)
+            if val.ndim == 0:
+                scalars[name] = float(val)
+            elif val.ndim == 1 and val.size <= self.Q * 2:
+                for i, x in enumerate(val.ravel()):
+                    scalars[f"{name}_{i}"] = float(x)
+        write_header = not csv_path.exists()
+        with open(csv_path, "a") as f:
+            if write_header:
+                f.write(",".join(scalars.keys()) + "\n")
+            f.write(",".join(str(v) for v in scalars.values()) + "\n")
+
+    def load_checkpoint(self, path=None, param_only=False, warnings=False):
+        """Load checkpoint (reference: model.py:325-357)."""
+        path = Path(path) if path else self.run_path
+        model_path = path / f"{self.name}_model.tpqr"
+        if not model_path.exists():
+            raise TapqirFileNotFoundError("model", model_path)
+        with np.load(model_path, allow_pickle=False) as z:
+            flat = {k: z[k] for k in z.files}
+        meta = json.loads(bytes(flat.pop("meta")).decode())
+        params = {
+            k[3:]: jnp.asarray(v, self.dtype)
+            for k, v in flat.items()
+            if k.startswith("p::")
+        }
+        self.params = params
+        if not param_only:
+            mu = {
+                k[4:]: jnp.asarray(v, self.dtype)
+                for k, v in flat.items()
+                if k.startswith("mu::")
+            }
+            nu = {
+                k[4:]: jnp.asarray(v, self.dtype)
+                for k, v in flat.items()
+                if k.startswith("nu::")
+            }
+            count = jnp.asarray(flat["count"])
+            base = self.tx.init(self.params)
+            adam = base[0]._replace(count=count, mu=mu, nu=nu)
+            self.opt_state = (adam,) + tuple(base[1:])
+            self.converged = meta["convergence_status"]
+            self._rolling = meta["rolling"]
+            self.iter = meta["iter"]
+            logger.info(
+                f"Iteration #{self.iter}. Loaded a model checkpoint from {model_path}"
+            )
+        if warnings and not meta["convergence_status"]:
+            logger.warning(f"Model at {path} has not been fully trained")
+
+    # -- stats -----------------------------------------------------------------
+    def compute_stats(self, CI: float = 0.95, save_matlab: bool = False):
+        """Compute credible regions and summary statistics
+        (reference: model.py:359-371)."""
+        from tapqir_tpu.utils.stats import save_stats
+
+        save_stats(self, self.path, CI=CI, save_matlab=save_matlab)
+        logger.debug("Computing stats: Successful.")
