@@ -145,21 +145,51 @@ class cosmos(Model):
         }
         return spec
 
+    def param_partition(self):
+        """PartitionSpec per variational parameter for the ("aoi", "frame")
+        mesh: per-AOI/per-frame parameters shard with the data, globals
+        replicate (SURVEY.md section 5.8)."""
+        from jax.sharding import PartitionSpec as P
+
+        spec = {}
+        for name in self._transforms:
+            if name in ("b_loc", "b_beta"):  # (Nt, F, C)
+                spec[name] = P("aoi", "frame", None)
+            elif name in ("background_mean_loc", "background_std_loc"):  # (Nt, 1, C)
+                spec[name] = P("aoi", None, None)
+            elif name in (
+                "m_probs", "h_loc", "h_beta", "w_mean", "w_size",
+                "x_mean", "y_mean", "size",
+            ):  # (K, Nt, F, Q)
+                spec[name] = P(None, "aoi", "frame", None)
+            else:  # global scalars/vectors
+                spec[name] = P()
+        return spec
+
     # -- ELBO -----------------------------------------------------------------
-    def elbo(self, pc, key, data):
-        Nt, F = self.data.Nt, self.data.F
-        n, f = self.nbatch_size, self.fbatch_size
-        k_n, k_f, k_rest = jax.random.split(key, 3)
+    def elbo(self, pc, key, data, n_shards=1):
+        """Minibatch ELBO. ``data`` arrays may be a local shard (inside
+        shard_map); sizes are taken from the arrays themselves. With
+        ``n_shards > 1`` the global term is divided so that the psum over
+        shards counts it once."""
+        Nt, F = data["images"].shape[0], data["images"].shape[1]
+        n = min(self.nbatch_size, Nt)
+        f = min(self.fbatch_size, F)
+        k_n, k_f, k_global, k_local = jax.random.split(key, 4)
         ndx = jax.random.permutation(k_n, Nt)[:n]
         fdx = jax.random.permutation(k_f, F)[:f]
         scale = (Nt / n) * (F / f)
         scale_n = Nt / n
-        local, aoi_term, global_term = self._elbo_terms(pc, k_rest, ndx, fdx, data)
-        return global_term + aoi_term * scale_n + local * scale
+        local, aoi_term, global_term = self._elbo_terms(
+            pc, k_global, k_local, ndx, fdx, data
+        )
+        return global_term / n_shards + aoi_term * scale_n + local * scale
 
-    def _elbo_terms(self, pc, key, ndx, fdx, data):
+    def _elbo_terms(self, pc, key_global, key_local, ndx, fdx, data):
         """Returns (sum of local per-(n,f,c) terms, sum of per-AOI terms,
-        global term) for the given batch indices."""
+        global term) for the given batch indices. ``key_global`` drives the
+        global-parameter samples (shared across shards in the multi-chip
+        path); ``key_local`` drives the per-batch samples."""
         S, K, Q = self.S, self.K, self.Q
         P = self.data.P
         dtype = self.dtype
@@ -168,7 +198,10 @@ class cosmos(Model):
         wmin, wmax = priors["width_min"], priors["width_max"]
         prox_high = (P + 1) / math.sqrt(12)
 
-        keys = jax.random.split(key, 9)
+        gkeys = jax.random.split(key_global, 5)
+        lkeys = jax.random.split(key_local, 4)
+        keys = [gkeys[0], gkeys[1], gkeys[2], gkeys[3],
+                lkeys[0], lkeys[1], lkeys[2], lkeys[3], gkeys[4]]
 
         # ---- batch gathers ----------------------------------------------------
         def g2(a):  # (Nt, F, C) -> (n, f, C)

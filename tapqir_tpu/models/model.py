@@ -20,6 +20,7 @@ Retained reference behaviors:
 import json
 import logging
 import random
+from functools import partial
 from pathlib import Path
 from typing import Optional, Union
 
@@ -203,28 +204,34 @@ class Model:
     def _build_step(self):
         transforms = self._transforms
 
-        def loss_fn(params_u, key):
+        # data must be an explicit jit argument (NOT a closure constant): a
+        # closed-over dataset would be embedded into the HLO as literal
+        # constants - hundreds of MB at production scale.
+        def loss_fn(params_u, key, data):
             pc = {k: transforms[k](v) for k, v in params_u.items()}
-            return -self.elbo(pc, key, self._data_dev)
+            return -self.elbo(pc, key, data)
 
-        def one_step(carry, key):
+        def one_step(data, carry, key):
             params_u, opt_state = carry
-            loss, grads = jax.value_and_grad(loss_fn)(params_u, key)
+            loss, grads = jax.value_and_grad(loss_fn)(params_u, key, data)
             updates, opt_state = self.tx.update(grads, opt_state)
             params_u = optax.apply_updates(params_u, updates)
             return (params_u, opt_state), loss
 
-        def run_chunk(params_u, opt_state, key, nsteps):
+        def run_chunk_fn(params_u, opt_state, key, data, nsteps):
             keys = jax.random.split(key, nsteps)
             (params_u, opt_state), losses = jax.lax.scan(
-                one_step, (params_u, opt_state), keys
+                partial(one_step, data), (params_u, opt_state), keys
             )
             return params_u, opt_state, losses
 
         if self._jit:
-            self._run_chunk = jax.jit(run_chunk, static_argnums=(3,))
-        else:
-            self._run_chunk = run_chunk
+            run_chunk_fn = jax.jit(run_chunk_fn, static_argnums=(4,))
+
+        def run_chunk(params_u, opt_state, key, nsteps):
+            return run_chunk_fn(params_u, opt_state, key, self._data_dev, nsteps)
+
+        self._run_chunk = run_chunk
 
     def run(self, num_iter: int = 0, progress_bar=None) -> None:
         """Run SVI until ``num_iter`` or convergence (reference: model.py:188-237)."""

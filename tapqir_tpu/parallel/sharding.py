@@ -1,0 +1,122 @@
+"""Mesh sharding for pod-scale SVI.
+
+The reference is single-process/single-device (SURVEY.md section 2.10, 5.8);
+its only "parallelism" is plate subsampling. The TPU-native scaling story:
+
+* a 2D ``jax.sharding.Mesh`` with axes ("aoi", "frame");
+* the dataset and all per-AOI/per-frame variational parameters are sharded
+  over it (data parallel over AOIs + frames - frames are iid in cosmos /
+  crosstalk, so the frame axis is also data-parallel);
+* each shard draws its own local minibatch and computes local ELBO terms;
+  the scalar loss and the gradients of *replicated* (global) parameters are
+  ``psum``'d over ICI; gradients of sharded parameters never leave the chip;
+* each shard draws its own MC sample of the global parameters (gain, pi,
+  lamda, proximity) and the global prior/entropy term is averaged over
+  shards - i.e. the mesh acts as ``n_shards`` iid ELBO particles, an
+  unbiased (variance-reduced) version of the reference's single-draw step.
+
+Optimizer updates run outside shard_map: Adam is elementwise, so sharded
+parameters update locally and replicated parameters update identically on
+every device.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from jax import shard_map
+
+
+def make_mesh(n_aoi: int, n_frame: int = 1, devices=None) -> Mesh:
+    """Build an ("aoi", "frame") mesh over the available devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    assert devices.size >= n_aoi * n_frame, (
+        f"need {n_aoi * n_frame} devices, have {devices.size}"
+    )
+    grid = devices.ravel()[: n_aoi * n_frame].reshape(n_aoi, n_frame)
+    return Mesh(grid, ("aoi", "frame"))
+
+
+def data_partition() -> dict:
+    """PartitionSpecs for the device-resident dataset arrays."""
+    return {
+        "images": P("aoi", "frame"),
+        "xy": P("aoi", "frame"),
+        "is_ontarget": P("aoi"),
+        "mask": P("aoi"),
+        "offset_samples": P(),
+        "offset_logits": P(),
+    }
+
+
+def shard_params_and_data(mesh, params, param_specs, data, data_specs=None):
+    """Place params/data on the mesh with their PartitionSpecs."""
+    data_specs = data_specs or data_partition()
+    params_sh = {
+        k: jax.device_put(v, NamedSharding(mesh, param_specs[k]))
+        for k, v in params.items()
+    }
+    data_sh = {
+        k: jax.device_put(v, NamedSharding(mesh, data_specs[k]))
+        for k, v in data.items()
+    }
+    return params_sh, data_sh
+
+
+def make_sharded_train_fn(model, mesh, tx):
+    """Build a jitted multi-step train function over the mesh.
+
+    Returns ``run_chunk(params, opt_state, key, data, nsteps) ->
+    (params, opt_state, losses)`` where params/data are sharded per
+    ``model.param_partition()`` / :func:`data_partition`.
+    """
+    param_specs = model.param_partition()
+    data_specs = data_partition()
+    transforms = model._transforms
+    n_shards = mesh.devices.size
+    axes = ("aoi", "frame")
+
+    def local_loss(params_local, key, data_local):
+        pc = {k: transforms[k](v) for k, v in params_local.items()}
+        return -model.elbo(pc, key, data_local, n_shards=n_shards)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(param_specs, P(), data_specs),
+        out_specs=(P(), param_specs),
+        check_vma=False,
+    )
+    def loss_and_grads(params_local, key, data_local):
+        shard_id = jax.lax.axis_index("aoi") * jax.lax.axis_size(
+            "frame"
+        ) + jax.lax.axis_index("frame")
+        key = jax.random.fold_in(key, shard_id)
+        loss, grads = jax.value_and_grad(local_loss)(params_local, key, data_local)
+        loss = jax.lax.psum(loss, axes)
+        # replicated (global) parameter grads are summed over shards; sharded
+        # per-AOI/frame parameter grads stay local
+        grads = {
+            k: jax.lax.psum(g, axes) if param_specs[k] == P() else g
+            for k, g in grads.items()
+        }
+        return loss, grads
+
+    def run_chunk(params, opt_state, key, data, nsteps):
+        def one_step(carry, k):
+            params, opt_state = carry
+            loss, grads = loss_and_grads(params, k, data)
+            updates, opt_state = tx.update(grads, opt_state)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+            return (params, opt_state), loss
+
+        keys = jax.random.split(key, nsteps)
+        (params, opt_state), losses = jax.lax.scan(
+            one_step, (params, opt_state), keys
+        )
+        return params, opt_state, losses
+
+    return jax.jit(run_chunk, static_argnums=(4,))

@@ -1,0 +1,105 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh."""
+
+import jax
+import numpy as np
+import optax
+import pytest
+
+from tapqir_tpu.models import models
+from tapqir_tpu.parallel.sharding import (
+    make_mesh,
+    make_sharded_train_fn,
+    shard_params_and_data,
+)
+from tapqir_tpu.utils.simulate import simulate
+
+PARAMS = {
+    "pi": 0.3, "width": 1.4, "gain": 7.0, "lamda": 0.15,
+    "proximity": 0.2, "offset": 90.0, "height": 3000, "background": 150,
+}
+
+
+def _model(Nt, F):
+    data = simulate("cosmos", N=Nt, F=F, C=1, P=14, seed=0, params=PARAMS)
+    model = models["cosmos"]()
+    model.data = data
+    model.nbatch_size = 2
+    model.fbatch_size = 4
+    model.init_parameters()
+    model._data_dev = model._data_device_arrays()
+    return model
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_train_step_4x2():
+    model = _model(Nt=8, F=8)
+    mesh = make_mesh(4, 2)
+    tx = optax.adam(0.005)
+    params_sh, data_sh = shard_params_and_data(
+        mesh, model.params, model.param_partition(), model._data_dev
+    )
+    opt_state = tx.init(params_sh)
+    run = make_sharded_train_fn(model, mesh, tx)
+    params2, opt_state, losses = run(
+        params_sh, opt_state, jax.random.PRNGKey(0), data_sh, 3
+    )
+    losses = np.asarray(losses)
+    assert losses.shape == (3,)
+    assert np.isfinite(losses).all()
+    # params actually moved
+    moved = sum(
+        float(np.abs(np.asarray(params2[k]) - np.asarray(params_sh[k])).sum())
+        for k in params2
+    )
+    assert moved > 0
+    # sharded per-AOI params keep their sharding
+    assert params2["b_loc"].sharding.spec == params_sh["b_loc"].sharding.spec
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_loss_magnitude_matches_single_device():
+    """The sharded estimator must target the same objective: compare a
+    sharded loss against single-device losses on the same model/data."""
+    model = _model(Nt=8, F=8)
+    mesh = make_mesh(4, 2)
+    tx = optax.adam(0.005)
+    params_sh, data_sh = shard_params_and_data(
+        mesh, model.params, model.param_partition(), model._data_dev
+    )
+    opt_state = tx.init(params_sh)
+    run = make_sharded_train_fn(model, mesh, tx)
+    _, _, losses_sh = run(params_sh, opt_state, jax.random.PRNGKey(0), data_sh, 1)
+
+    # single-device minibatch losses (several keys -> MC spread)
+    pc = model.constrained()
+    singles = [
+        -float(model.elbo(pc, jax.random.PRNGKey(i), model._data_dev))
+        for i in range(8)
+    ]
+    lo, hi = min(singles), max(singles)
+    spread = hi - lo
+    loss_sh = float(np.asarray(losses_sh)[0])
+    assert lo - 3 * spread < loss_sh < hi + 3 * spread, (
+        f"sharded loss {loss_sh} far outside single-device range [{lo}, {hi}]"
+    )
+
+
+def test_graft_entry_single_chip():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__
+
+    fn, args = __graft_entry__.entry()
+    out = jax.jit(fn)(*args)
+    assert np.isfinite(float(out))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_graft_entry_multichip():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
