@@ -167,11 +167,16 @@ class cosmos(Model):
         return spec
 
     # -- ELBO -----------------------------------------------------------------
-    def elbo(self, pc, key, data, n_shards=1):
-        """Minibatch ELBO. ``data`` arrays may be a local shard (inside
-        shard_map); sizes are taken from the arrays themselves. With
-        ``n_shards > 1`` the global term is divided so that the psum over
-        shards counts it once."""
+    def elbo(self, params_u, key, data, n_shards=1):
+        """Minibatch ELBO from UNCONSTRAINED parameters. ``data`` arrays may
+        be a local shard (inside shard_map); sizes are taken from the arrays
+        themselves. With ``n_shards > 1`` the global term is divided so that
+        the psum over shards counts it once.
+
+        Constraint transforms are applied AFTER the batch gather (they are
+        elementwise, so transform-then-gather == gather-then-transform) -
+        transforming the full (K, Nt, F, Q) arrays every step would cost
+        ~12M transcendentals + HBM round-trips at production scale."""
         Nt, F = data["images"].shape[0], data["images"].shape[1]
         n = min(self.nbatch_size, Nt)
         f = min(self.fbatch_size, F)
@@ -181,11 +186,11 @@ class cosmos(Model):
         scale = (Nt / n) * (F / f)
         scale_n = Nt / n
         local, aoi_term, global_term = self._elbo_terms(
-            pc, k_global, k_local, ndx, fdx, data
+            params_u, k_global, k_local, ndx, fdx, data
         )
         return global_term / n_shards + aoi_term * scale_n + local * scale
 
-    def _elbo_terms(self, pc, key_global, key_local, ndx, fdx, data):
+    def _elbo_terms(self, pu, key_global, key_local, ndx, fdx, data):
         """Returns (sum of local per-(n,f,c) terms, sum of per-AOI terms,
         global term) for the given batch indices. ``key_global`` drives the
         global-parameter samples (shared across shards in the multi-chip
@@ -203,50 +208,60 @@ class cosmos(Model):
         keys = [gkeys[0], gkeys[1], gkeys[2], gkeys[3],
                 lkeys[0], lkeys[1], lkeys[2], lkeys[3], gkeys[4]]
 
-        # ---- batch gathers ----------------------------------------------------
-        def g2(a):  # (Nt, F, C) -> (n, f, C)
-            return jnp.take(jnp.take(a, ndx, 0), fdx, 1)
+        # ---- batch gathers (gather unconstrained, then transform) -----------
+        tf = self._transforms
 
-        def gk(a):  # (K, Nt, F, Q) -> (n, f, Q, K)
-            return jnp.moveaxis(jnp.take(jnp.take(a, ndx, 1), fdx, 2), 0, -1)
+        def pc(name):  # global parameter -> constrained
+            return tf[name](pu[name])
 
-        obs = g2(data["images"])  # (n, f, C, P, P)
-        target_locs = g2(data["xy"])  # (n, f, C, 2)
+        def g2a(arr):  # raw (Nt, F, ...) -> (n, f, ...)
+            return jnp.take(jnp.take(arr, ndx, 0), fdx, 1)
+
+        def g2(name):  # (Nt, F, C) -> (n, f, C), constrained
+            return tf[name](g2a(pu[name]))
+
+        def gk(name):  # (K, Nt, F, Q) -> (n, f, Q, K), constrained
+            return tf[name](
+                jnp.moveaxis(jnp.take(jnp.take(pu[name], ndx, 1), fdx, 2), 0, -1)
+            )
+
+        obs = g2a(data["images"])  # (n, f, C, P, P)
+        target_locs = g2a(data["xy"])  # (n, f, C, 2)
         ont = jnp.take(data["is_ontarget"], ndx)  # (n,)
         mask = jnp.take(data["mask"], ndx)  # (n,)
 
         # ---- global samples + ELBO terms ---------------------------------------
-        gain_conc = pc["gain_loc"] * pc["gain_beta"]
-        gain = gamma_sample(keys[0], gain_conc, pc["gain_beta"])
-        pi_conc = pc["pi_mean"] * pc["pi_size"]
+        gain_conc = pc("gain_loc") * pc("gain_beta")
+        gain = gamma_sample(keys[0], gain_conc, pc("gain_beta"))
+        pi_conc = pc("pi_mean") * pc("pi_size")
         pi = dirichlet_sample(keys[1], pi_conc)  # (Q, S+1)
-        lamda_conc = pc["lamda_loc"] * pc["lamda_beta"]
-        lamda = gamma_sample(keys[2], lamda_conc, pc["lamda_beta"])  # (Q,)
+        lamda_conc = pc("lamda_loc") * pc("lamda_beta")
+        lamda = gamma_sample(keys[2], lamda_conc, pc("lamda_beta"))  # (Q,)
         prox = affine_beta_sample(
-            keys[3], pc["proximity_loc"], pc["proximity_size"], 0.0, prox_high
+            keys[3], pc("proximity_loc"), pc("proximity_size"), 0.0, prox_high
         )
 
         global_term = (
             halfnormal_log_prob(gain, priors["gain_std"])
-            - gamma_log_prob(gain, gain_conc, pc["gain_beta"])
+            - gamma_log_prob(gain, gain_conc, pc("gain_beta"))
             + (
                 dirichlet_log_prob(pi, jnp.full((Q, S + 1), 1.0 / (S + 1), dtype))
                 - dirichlet_log_prob(pi, pi_conc)
             ).sum()
             + (
                 exponential_log_prob(lamda, priors["lamda_rate"])
-                - gamma_log_prob(lamda, lamda_conc, pc["lamda_beta"])
+                - gamma_log_prob(lamda, lamda_conc, pc("lamda_beta"))
             ).sum()
             + exponential_log_prob(prox, priors["proximity_rate"])
             - affine_beta_log_prob(
-                prox, pc["proximity_loc"], pc["proximity_size"], 0.0, prox_high
+                prox, pc("proximity_loc"), pc("proximity_size"), 0.0, prox_high
             )
         )
-        global_term = self._extra_global_terms(pc, keys[8], global_term)
+        global_term = self._extra_global_terms(pc, keys[8], global_term)  # pc is the getter fn
 
         # ---- per-AOI Delta sites (MAP background hyper-params) -------------------
-        bm = jnp.take(pc["background_mean_loc"], ndx, 0)[:, 0, :]  # (n, C)
-        bs = jnp.take(pc["background_std_loc"], ndx, 0)[:, 0, :]
+        bm = tf["background_mean_loc"](jnp.take(pu["background_mean_loc"], ndx, 0))[:, 0, :]  # (n, C)
+        bs = tf["background_std_loc"](jnp.take(pu["background_std_loc"], ndx, 0))[:, 0, :]
         aoi_term = (
             (
                 halfnormal_log_prob(bm, priors["background_mean_std"])
@@ -256,7 +271,7 @@ class cosmos(Model):
         ).sum()
 
         # ---- local continuous: background -------------------------------------------
-        b_loc, b_beta = g2(pc["b_loc"]), g2(pc["b_beta"])
+        b_loc, b_beta = g2("b_loc"), g2("b_beta")
         b = gamma_sample(keys[4], b_loc * b_beta, b_beta)  # (n, f, C)
         lp_b = gamma_log_prob(
             b, (bm / bs)[:, None, :] ** 2, (bm / bs**2)[:, None, :]
@@ -264,11 +279,11 @@ class cosmos(Model):
         lq_b = gamma_log_prob(b, b_loc * b_beta, b_beta)
 
         # ---- local continuous: spot shapes -----------------------------------------
-        h_loc, h_beta = gk(pc["h_loc"]), gk(pc["h_beta"])  # (n, f, Q, K)
-        w_mean, w_size = gk(pc["w_mean"]), gk(pc["w_size"])
-        x_mean, y_mean = gk(pc["x_mean"]), gk(pc["y_mean"])
-        size = gk(pc["size"])
-        qm = gk(pc["m_probs"])
+        h_loc, h_beta = gk("h_loc"), gk("h_beta")  # (n, f, Q, K)
+        w_mean, w_size = gk("w_mean"), gk("w_size")
+        x_mean, y_mean = gk("x_mean"), gk("y_mean")
+        size = gk("size")
+        qm = gk("m_probs")
 
         h = gamma_sample(keys[5], h_loc * h_beta, h_beta)
         w = affine_beta_sample(keys[6], w_mean, w_size, wmin, wmax)

@@ -202,14 +202,12 @@ class Model:
         self._build_step()
 
     def _build_step(self):
-        transforms = self._transforms
 
         # data must be an explicit jit argument (NOT a closure constant): a
         # closed-over dataset would be embedded into the HLO as literal
         # constants - hundreds of MB at production scale.
         def loss_fn(params_u, key, data):
-            pc = {k: transforms[k](v) for k, v in params_u.items()}
-            return -self.elbo(pc, key, data)
+            return -self.elbo(params_u, key, data)
 
         def one_step(data, carry, key):
             params_u, opt_state = carry

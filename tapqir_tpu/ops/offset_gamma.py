@@ -1,11 +1,260 @@
-"""Pallas TPU kernel for the offset-marginalized Gamma pixel likelihood.
+"""Pallas TPU kernel: offset-marginalized Gamma log-likelihood.
 
-This is the TPU-native equivalent of the reference's pykeops runtime-compiled
-C++/CUDA LogSumExp kernel (tapqir/distributions/ksmogn.py:188-221). Stub for
-now: raises NotImplementedError so callers fall back to the fused XLA path;
-the real kernel lands with the performance milestone.
+TPU-native equivalent of the reference's runtime-compiled pykeops LogSumExp
+kernel (tapqir/distributions/ksmogn.py:188-221). Computes, per pixel i and
+m-configuration m (concentration a varies across configs, pixel value x and
+rate b are shared):
+
+    out[m, i] = logsumexp_j [ w_j + (a[m,i] - 1) * log(x_i - g_j)
+                              - b * (x_i - g_j) ]        (masked to x_i > g_j)
+
+The caller adds the value-independent terms a*log(b) - lgamma(a).
+
+Key optimizations over the fused-XLA path:
+
+* the per-(pixel, offset) ``log(x - g_j)`` and ``w_j - b (x - g_j)`` terms
+  are computed ONCE per pixel tile and staged in VMEM, then reused for all
+  M m-configurations (XLA recomputes them per config, and its two-pass
+  logsumexp reduction evaluates the elementwise input twice);
+* transcendental count per (pixel, offset): 1 log + M exp, vs the XLA
+  path's M * (2 log + 2 exp);
+* a custom VJP kernel reuses the forward output, so the backward pass costs
+  about the same as the forward instead of rematerializing the full
+  (pixels, offsets) broadcast.
+
+Layout: pixels are flattened and tiled (TR, 128); offsets live in SMEM and
+are looped ``fori_loop``-style with full-tile VPU ops per step.
 """
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+NEG = -1e30
+
+
+def _interpret():
+    """Interpreter mode lets the kernel logic run (slowly) off-TPU for tests."""
+    return os.environ.get("TAPQIR_PALLAS_INTERPRET", "0") == "1"
+
+
+def _pick_tile_rows(J: int):
+    """Rows per tile so that the two (J, TR, 128) f32 scratch buffers fit
+    comfortably in VMEM (~16 MB/core)."""
+    for tr in (32, 16, 8):
+        if 2 * J * tr * LANE * 4 <= 6 * 1024 * 1024:
+            return tr
+    return None  # J too large for this kernel; caller falls back to XLA
+
+
+def _fwd_kernel(g_ref, w_ref, b_ref, x_ref, a_ref, out_ref, lbuf, cbuf):
+    J = g_ref.shape[0]
+    M = a_ref.shape[0]
+    b = b_ref[0]
+    x = x_ref[:]  # (TR, 128)
+
+    def stage(j, _):
+        d = x - g_ref[j]
+        ok = d > 0.0
+        lbuf[j] = jnp.where(ok, jnp.log(jnp.where(ok, d, 1.0)), 0.0)
+        cbuf[j] = jnp.where(ok, w_ref[j] - b * d, NEG)
+        return 0
+
+    jax.lax.fori_loop(0, J, stage, 0)
+
+    L = lbuf[:]  # (J, TR, 128)
+    c = cbuf[:]
+    for m in range(M):  # static unroll over m-configurations
+        t = c + (a_ref[m] - 1.0) * L  # (J, TR, 128)
+        mx = jnp.max(t, axis=0)  # (TR, 128)
+        s = jnp.sum(jnp.exp(t - mx), axis=0)
+        out_ref[m] = mx + jnp.log(s)
+
+
+def _bwd_kernel(g_ref, w_ref, b_ref, x_ref, a_ref, out_ref, go_ref,
+                da_ref, db_ref):
+    """Single-pass accumulation: p_j = exp(t_j - out) is the softmax weight;
+    d lse/d a = sum_j p_j L_j and d lse/d b = -sum_j p_j (x - g_j)."""
+    J = g_ref.shape[0]
+    M = a_ref.shape[0]
+    b = b_ref[0]
+    x = x_ref[:]
+
+    for m in range(M):
+        da_ref[m] = jnp.zeros_like(x)
+        db_ref[m] = jnp.zeros_like(x)
+
+    def body(j, _):
+        d = x - g_ref[j]
+        ok = d > 0.0
+        L = jnp.where(ok, jnp.log(jnp.where(ok, d, 1.0)), 0.0)
+        c = jnp.where(ok, w_ref[j] - b * d, NEG)
+        for m in range(M):
+            p = jnp.exp(c + (a_ref[m] - 1.0) * L - out_ref[m])
+            p = jnp.where(ok, p, 0.0)
+            da_ref[m] += p * L
+            db_ref[m] += p * d
+        return 0
+
+    jax.lax.fori_loop(0, J, body, 0)
+    for m in range(M):
+        da_ref[m] = go_ref[m] * da_ref[m]
+        db_ref[m] = -go_ref[m] * db_ref[m]
+
+
+def _pad_rows(arr, rows_to, lane_to):
+    pad = [(0, 0)] * (arr.ndim - 2) + [
+        (0, rows_to - arr.shape[-2]),
+        (0, lane_to - arr.shape[-1]),
+    ]
+    return jnp.pad(arr, pad, constant_values=1.0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _lse_core(x2d, a3d, rate, g, w):
+    return _lse_fwd_impl(x2d, a3d, rate, g, w)
+
+
+def _lse_fwd_impl(x2d, a3d, rate, g, w):
+    M, R, _ = a3d.shape
+    J = g.shape[0]
+    TR = _pick_tile_rows(J)
+    grid = (R // TR,)
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # g (J,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # w (J,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # rate (1,)
+            pl.BlockSpec((TR, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, TR, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (M, TR, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((M, R, LANE), x2d.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((J, TR, LANE), x2d.dtype),
+            pltpu.VMEM((J, TR, LANE), x2d.dtype),
+        ],
+        interpret=_interpret(),
+    )(g, w, rate.reshape(1), x2d, a3d)
+
+
+def _lse_fwd(x2d, a3d, rate, g, w):
+    out = _lse_fwd_impl(x2d, a3d, rate, g, w)
+    return out, (x2d, a3d, rate, g, w, out)
+
+
+def _lse_bwd(res, go):
+    x2d, a3d, rate, g, w, out = res
+    M, R, _ = a3d.shape
+    J = g.shape[0]
+    TR = _pick_tile_rows(J)
+    grid = (R // TR,)
+    da, db = pl.pallas_call(
+        _bwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((TR, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, TR, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, TR, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, TR, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((M, TR, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, TR, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M, R, LANE), x2d.dtype),
+            jax.ShapeDtypeStruct((M, R, LANE), x2d.dtype),
+        ],
+        interpret=_interpret(),
+    )(g, w, rate.reshape(1), x2d, a3d, out, go)
+    drate = db.sum()
+    return (
+        jnp.zeros_like(x2d),
+        da,
+        drate.reshape(rate.shape),
+        jnp.zeros_like(g),
+        jnp.zeros_like(w),
+    )
+
+
+_lse_core.defvjp(_lse_fwd, _lse_bwd)
 
 
 def offset_gamma_log_prob_pallas(value, concentration, rate, offset_samples, offset_logits):
-    raise NotImplementedError("Pallas offset-gamma kernel not yet implemented")
+    """Fused offset-marginalized Gamma log-pdf.
+
+    Requires ``concentration.shape == (M,) + value.shape`` (or equal to
+    ``value.shape``) and a scalar ``rate``; raises NotImplementedError for
+    other layouts so the caller falls back to the XLA path.
+    """
+    if jnp.ndim(rate) != 0:
+        raise NotImplementedError("pallas kernel requires scalar rate")
+    vshape = jnp.shape(value)
+    cshape = jnp.shape(concentration)
+    if cshape == vshape:
+        conc = concentration[None]
+        squeeze = True
+    elif cshape[1:] == vshape:
+        conc = concentration
+        squeeze = False
+    else:
+        # general broadcast: lead-axis M with broadcastable trailing dims
+        try:
+            bshape = jnp.broadcast_shapes(cshape[1:], vshape)
+        except ValueError as e:
+            raise NotImplementedError(f"unsupported layout: {cshape} vs {vshape}") from e
+        if cshape[1:] != bshape:
+            raise NotImplementedError("concentration must carry full pixel shape")
+        value = jnp.broadcast_to(value, bshape)
+        vshape = bshape
+        conc = concentration
+        squeeze = False
+
+    J = offset_samples.shape[0]
+    TR = _pick_tile_rows(J)
+    if TR is None:
+        raise NotImplementedError(f"too many offset bins for VMEM staging: {J}")
+
+    dtype = conc.dtype
+    M = conc.shape[0]
+    n_px = int(np.prod(vshape)) if vshape else 1
+    R = -(-n_px // LANE)  # rows of 128 lanes
+    R_pad = -(-R // TR) * TR
+
+    x_flat = jnp.ravel(value).astype(dtype)
+    a_flat = conc.reshape(M, n_px)
+    x2d = _pad_rows(x_flat.reshape(1, -1), 1, R_pad * LANE).reshape(R_pad, LANE)
+    a3d = _pad_rows(a_flat[:, None, :], 1, R_pad * LANE).reshape(M, R_pad, LANE)
+
+    out = _lse_core(
+        x2d,
+        a3d,
+        jnp.asarray(rate, dtype),
+        offset_samples.astype(dtype),
+        offset_logits.astype(dtype),
+    )
+    lse = out.reshape(M, R_pad * LANE)[:, :n_px].reshape((M,) + vshape)
+    result = (
+        concentration * jnp.log(rate) - jax.scipy.special.gammaln(concentration) + lse
+        if not squeeze
+        else (
+            concentration * jnp.log(rate)
+            - jax.scipy.special.gammaln(concentration)
+            + lse[0]
+        )
+    )
+    return result

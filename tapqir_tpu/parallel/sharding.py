@@ -75,13 +75,11 @@ def make_sharded_train_fn(model, mesh, tx):
     """
     param_specs = model.param_partition()
     data_specs = data_partition()
-    transforms = model._transforms
     n_shards = mesh.devices.size
     axes = ("aoi", "frame")
 
     def local_loss(params_local, key, data_local):
-        pc = {k: transforms[k](v) for k, v in params_local.items()}
-        return -model.elbo(pc, key, data_local, n_shards=n_shards)
+        return -model.elbo(params_local, key, data_local, n_shards=n_shards)
 
     @partial(
         shard_map,

@@ -108,16 +108,14 @@ def test_elbo_reproducible_and_finite(fitted):
     import jax.numpy as jnp
 
     model, _ = fitted
-    pc = model.constrained()
     key = jax.random.PRNGKey(123)
-    e1 = model.elbo(pc, key, model._data_dev)
-    e2 = model.elbo(pc, key, model._data_dev)
+    e1 = model.elbo(model.params, key, model._data_dev)
+    e2 = model.elbo(model.params, key, model._data_dev)
     assert np.isfinite(float(e1))
     np.testing.assert_allclose(float(e1), float(e2), rtol=1e-12)
 
     def loss(params_u):
-        pc = {k: model._transforms[k](v) for k, v in params_u.items()}
-        return -model.elbo(pc, key, model._data_dev)
+        return -model.elbo(params_u, key, model._data_dev)
 
     grads = jax.grad(loss)(model.params)
     for k, g in grads.items():

@@ -71,9 +71,8 @@ def test_sharded_loss_magnitude_matches_single_device():
     _, _, losses_sh = run(params_sh, opt_state, jax.random.PRNGKey(0), data_sh, 1)
 
     # single-device minibatch losses (several keys -> MC spread)
-    pc = model.constrained()
     singles = [
-        -float(model.elbo(pc, jax.random.PRNGKey(i), model._data_dev))
+        -float(model.elbo(model.params, jax.random.PRNGKey(i), model._data_dev))
         for i in range(8)
     ]
     lo, hi = min(singles), max(singles)
