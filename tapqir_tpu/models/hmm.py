@@ -1,0 +1,481 @@
+"""hmm: multi-color hidden Markov colocalization model ("cosmos+hmm").
+
+TPU-native re-design of the reference model (tapqir/models/hmm.py:28-675).
+The reference requires the funsor backend: a vectorized-Markov messenger
+(tapqir/handlers.py:18-207), a custom TraceMarkovEnum_ELBO
+(tapqir/infer/elbo.py:18-86) and a modified partial-sum-product with a
+Blelloch parallel scan (tapqir/infer/sum_product.py:130-359). Here the same
+math is derived in closed form:
+
+* the guide over the z-chain is an explicit inhomogeneous Markov chain
+  q(z_f | z_{f-1}) with parameter ``z_trans`` (Nt, F, C, 1+S, 1+S)
+  (reference: hmm.py:445-456);
+* its marginals gamma_f and pairwise marginals xi_f come from ONE
+  ``jax.lax.associative_scan`` of log-transition matrices (O(log F) depth);
+* E_q[log p - log q] over the chain decomposes into
+  sum_f E_{xi_f}[log p(z_f | z_{f-1}, trans) - log q(z_f | z_{f-1})]
+  plus sum_f sum_s gamma_f(s) * l_f(s), where l_f(s) is the per-frame
+  cosmos-style expectation (theta marginalized, m enumerated given z=s);
+* no frame subsampling: the chain needs every frame, matching the reference
+  (hmm.py:119-131 subsamples only AOIs).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.scipy.special import logsumexp
+
+from tapqir_tpu import constraints
+from tapqir_tpu.distributions.core import (
+    affine_beta_log_prob,
+    affine_beta_sample,
+    dirichlet_log_prob,
+    dirichlet_sample,
+    exponential_log_prob,
+    gamma_log_prob,
+    gamma_sample,
+    halfnormal_log_prob,
+)
+from tapqir_tpu.distributions.ksmogn import offset_gamma_log_prob
+from tapqir_tpu.distributions.util import expand_offtarget, gaussian_spots
+from tapqir_tpu.infer.discrete import (
+    log_probs_m,
+    log_probs_theta,
+    log_probs_z,
+    m_configs,
+    safe_log,
+)
+from tapqir_tpu.models.cosmos import cosmos
+from tapqir_tpu.ops.scan import cumulative_logmatmulexp
+
+__all__ = ["hmm"]
+
+
+class hmm(cosmos):
+    r"""Multi-Color Hidden Markov Colocalization Model.
+
+    z follows a Markov chain with Dirichlet-prior init/trans probabilities
+    (reference: hmm.py:87-98); everything else matches cosmos.
+    """
+
+    name = "cosmos+hmm"
+
+    def __init__(self, S=1, K=2, device=None, dtype="float32",
+                 use_pallas=None, vectorized=True, priors=None):
+        super().__init__(
+            S=S, K=K, Q=None, device=device, dtype=dtype,
+            use_pallas=use_pallas, priors=priors, vectorized=vectorized,
+        )
+        self._global_params = ["gain", "proximity", "lamda", "trans"]
+        self.ci_params = [
+            "gain", "init", "trans", "lamda", "proximity",
+            "background", "height", "width", "x", "y",
+        ]
+
+    # -- parameters (reference: hmm.py:416-467) --------------------------------
+    def param_spec(self):
+        spec = super().param_spec()
+        data = self.data
+        K, Q, S = self.K, self.Q, self.S
+        Nt, F, C = data.Nt, data.F, data.C
+        del spec["pi_mean"], spec["pi_size"]
+        spec["init_mean"] = (np.ones((Q, S + 1)) / (S + 1), constraints.simplex())
+        spec["init_size"] = (np.full((Q, 1), 2.0), constraints.positive())
+        spec["trans_mean"] = (
+            np.ones((Q, S + 1, S + 1)) / (S + 1), constraints.simplex()
+        )
+        spec["trans_size"] = (np.full((Q, S + 1, 1), 2.0), constraints.positive())
+        spec["z_trans"] = (
+            np.full((Nt, F, C, S + 1, S + 1), 1.0 / (S + 1)), constraints.simplex()
+        )
+        spec["m_probs"] = (
+            np.full((S + 1, K, Nt, F, C), 0.5), constraints.unit_interval()
+        )
+        return spec
+
+    def param_partition(self):
+        from jax.sharding import PartitionSpec as P
+
+        spec = super().param_partition()
+        # hmm shards over AOIs only: the z-chain couples all frames
+        for name, ps in list(spec.items()):
+            spec[name] = P(*[("aoi" if ax == "aoi" else None) for ax in ps]) \
+                if ps != P() else ps
+        spec["z_trans"] = P("aoi", None, None, None, None)
+        spec["m_probs"] = P(None, None, "aoi", None, None)
+        for name in ("init_mean", "init_size", "trans_mean", "trans_size"):
+            spec[name] = P()
+        return spec
+
+    def _log_feasible_m(self, dtype):
+        """(M, 1+S) log-mask of feasible m-configs given z: z > 0 requires at
+        least one spot present (theta points at a present spot)."""
+        from tapqir_tpu.infer.discrete import NEG_INF
+
+        mtab = m_configs(self.K)  # (M, K)
+        feasible = np.ones((mtab.shape[0], self.S + 1))
+        feasible[mtab.sum(-1) == 0, 1:] = 0.0
+        return jnp.asarray(np.where(feasible > 0, 0.0, NEG_INF), dtype)
+
+    # -- ELBO -------------------------------------------------------------------
+    def elbo(self, params_u, key, data, n_shards=1):
+        """Marginalized ELBO with the z-chain contracted by parallel scan.
+
+        AOI-subsampled only; all frames participate (reference hmm
+        subsamples only AOIs, hmm.py:119-125)."""
+        S, K, Q = self.S, self.K, self.Q
+        S1 = S + 1
+        P = self.data.P
+        dtype = self.dtype
+        priors = self.priors
+        lim = (P + 1) / 2
+        wmin, wmax = priors["width_min"], priors["width_max"]
+        prox_high = (P + 1) / math.sqrt(12)
+        Nt = data["images"].shape[0]
+        n = min(self.nbatch_size, Nt)
+        scale_n = Nt / n
+
+        k_n, key_global, key_local = jax.random.split(key, 3)
+        ndx = jax.random.permutation(k_n, Nt)[:n]
+        gkeys = jax.random.split(key_global, 6)
+        lkeys = jax.random.split(key_local, 5)
+
+        tf = self._transforms
+
+        def pc(name):
+            return tf[name](params_u[name])
+
+        def g1(name):  # (Nt, ...) -> (n, ...), constrained
+            return tf[name](jnp.take(params_u[name], ndx, 0))
+
+        def gk(name):  # (K, Nt, F, Q) -> (n, F, Q, K)
+            return tf[name](
+                jnp.moveaxis(jnp.take(params_u[name], ndx, 1), 0, -1)
+            )
+
+        obs = jnp.take(data["images"], ndx, 0)  # (n, F, C, P, P)
+        target_locs = jnp.take(data["xy"], ndx, 0)
+        ont = jnp.take(data["is_ontarget"], ndx)
+        mask = jnp.take(data["mask"], ndx)
+
+        # ---- global samples + terms ------------------------------------------
+        gain_conc = pc("gain_loc") * pc("gain_beta")
+        gain = gamma_sample(gkeys[0], gain_conc, pc("gain_beta"))
+        init_conc = pc("init_mean") * pc("init_size")
+        init = dirichlet_sample(gkeys[1], init_conc)  # (Q, S1)
+        trans_conc = pc("trans_mean") * pc("trans_size")
+        trans = dirichlet_sample(gkeys[2], trans_conc)  # (Q, S1, S1)
+        lamda_conc = pc("lamda_loc") * pc("lamda_beta")
+        lamda = gamma_sample(gkeys[3], lamda_conc, pc("lamda_beta"))
+        prox = affine_beta_sample(
+            gkeys[4], pc("proximity_loc"), pc("proximity_size"), 0.0, prox_high
+        )
+
+        global_term = (
+            halfnormal_log_prob(gain, priors["gain_std"])
+            - gamma_log_prob(gain, gain_conc, pc("gain_beta"))
+            + (
+                dirichlet_log_prob(init, jnp.full((Q, S1), 1.0 / S1, dtype))
+                - dirichlet_log_prob(init, init_conc)
+            ).sum()
+            + (
+                dirichlet_log_prob(trans, jnp.full((Q, S1, S1), 1.0 / S1, dtype))
+                - dirichlet_log_prob(trans, trans_conc)
+            ).sum()
+            + (
+                exponential_log_prob(lamda, priors["lamda_rate"])
+                - gamma_log_prob(lamda, lamda_conc, pc("lamda_beta"))
+            ).sum()
+            + exponential_log_prob(prox, priors["proximity_rate"])
+            - affine_beta_log_prob(
+                prox, pc("proximity_loc"), pc("proximity_size"), 0.0, prox_high
+            )
+        ) / n_shards
+
+        # ---- per-AOI Delta sites ------------------------------------------------
+        bm = g1("background_mean_loc")[:, 0, :]  # (n, C)
+        bs = g1("background_std_loc")[:, 0, :]
+        aoi_term = (
+            (
+                halfnormal_log_prob(bm, priors["background_mean_std"])
+                + halfnormal_log_prob(bs, priors["background_std_std"])
+            )
+            * mask[:, None]
+        ).sum()
+
+        # ---- z-chain: marginals via parallel scan --------------------------------
+        A = g1("z_trans")  # (n, F, C, S1, S1), rows are q(z_f | z_{f-1})
+        logA = jnp.log(A)
+        alphas = cumulative_logmatmulexp(logA, axis=1)  # prefix products
+        log_gamma = alphas[..., 0, :]  # (n, F, C, S1): q(z_f)
+        gamma = jnp.exp(log_gamma)
+
+        lp_init = log_probs_z(init, ont)  # (n, Q, S1)
+        trans_ext = expand_offtarget(trans)  # (Q, S1, S1, 2)
+        lp_trans = jnp.moveaxis(safe_log(trans_ext)[..., ont], -1, 0)  # (n,Q,S1,S1)
+
+        q0 = A[:, 0, :, 0, :]  # (n, C, S1)
+        chain_term = (q0 * (lp_init - jnp.log(q0))).sum((-2, -1))  # (n,)
+        xi = gamma[:, :-1, :, :, None] * A[:, 1:]  # (n, F-1, C, S1, S1)
+        chain_term = chain_term + (
+            xi * (lp_trans[:, None] - logA[:, 1:])
+        ).sum((1, 2, 3, 4))
+
+        # ---- continuous samples ---------------------------------------------------
+        b_loc, b_beta = g1("b_loc"), g1("b_beta")  # (n, F, C)
+        b = gamma_sample(lkeys[0], b_loc * b_beta, b_beta)
+        lp_b = gamma_log_prob(
+            b, (bm / bs)[:, None, :] ** 2, (bm / bs**2)[:, None, :]
+        )
+        lq_b = gamma_log_prob(b, b_loc * b_beta, b_beta)
+
+        h_loc, h_beta = gk("h_loc"), gk("h_beta")  # (n, F, Q, K)
+        w_mean, w_size = gk("w_mean"), gk("w_size")
+        x_mean, y_mean = gk("x_mean"), gk("y_mean")
+        size = gk("size")
+        h = gamma_sample(lkeys[1], h_loc * h_beta, h_beta)
+        w = affine_beta_sample(lkeys[2], w_mean, w_size, wmin, wmax)
+        xs = affine_beta_sample(lkeys[3], x_mean, size, -lim, lim)
+        ys = affine_beta_sample(lkeys[4], y_mean, size, -lim, lim)
+
+        # q(m | z): (S1, K, Nt, F, C) -> (S1, n, F, C, K)
+        qm = tf["m_probs"](
+            jnp.moveaxis(jnp.take(params_u["m_probs"], ndx, 2), 1, -1)
+        )
+
+        # ---- per-frame local terms conditioned on z = s -----------------------------
+        mtab = jnp.asarray(m_configs(K), dtype)  # (M, K)
+        lpt = log_probs_theta(K, S, dtype)  # (S1, 1+K)
+        lpm1, lpm0 = log_probs_m(lamda, K)  # (Q, 1+K, K)
+        log_pm_sum = jnp.einsum("mk,qtk->mtq", mtab, lpm1) + jnp.einsum(
+            "mk,qtk->mtq", 1.0 - mtab, lpm0
+        )
+
+        size_sp = ((P + 1) / (2 * prox)) ** 2 - 1.0
+        lpxy_ns = affine_beta_log_prob(xs, 0.0, 2.0, -lim, lim) + affine_beta_log_prob(
+            ys, 0.0, 2.0, -lim, lim
+        )
+        lpxy_sp = affine_beta_log_prob(
+            xs, 0.0, size_sp, -lim, lim
+        ) + affine_beta_log_prob(ys, 0.0, size_sp, -lim, lim)
+        spec_tk = jnp.asarray(np.arange(1 + K)[:, None] == 1 + np.arange(K), bool)
+        lpxy_t = jnp.where(
+            spec_tk[:, None, None, None, :], lpxy_sp[None], lpxy_ns[None]
+        )
+        term_xy = jnp.einsum("mk,tnfqk->mtnfq", mtab, lpxy_t)  # (M, 1+K, n, F, Q)
+
+        # T over (m, z, theta); theta contracted, z kept for the chain
+        T_full = (
+            lpt[None, :, :, None, None, None]  # (1, S1, 1+K, 1, 1, 1)
+            + log_pm_sum[:, None, :, None, None, :]  # (M, 1, 1+K, 1, 1, Q)
+            + term_xy[:, None]  # (M, 1, 1+K, n, F, Q)
+        )
+        inner = logsumexp(T_full, axis=2)  # (M, S1, n, F, Q)
+
+        lph = halfnormal_log_prob(h, priors["height_std"])
+        lpw = affine_beta_log_prob(w, 1.5, 2.0, wmin, wmax)
+        term_hw = jnp.einsum("mk,nfqk->mnfq", mtab, lph + lpw)
+
+        gauss = gaussian_spots(h, w, xs, ys, target_locs, P)  # (n, F, C, K, P, P)
+        img = b[..., None, None] + jnp.einsum("mk,nfckij->mnfcij", mtab, gauss)
+        loglik = offset_gamma_log_prob(
+            obs, img / gain, 1.0 / gain,
+            data["offset_samples"], data["offset_logits"], self.use_pallas,
+        ).sum((-2, -1))  # (M, n, F, C)
+
+        log_qm = jnp.einsum("mk,snfqk->msnfq", mtab, jnp.log(qm)) + jnp.einsum(
+            "mk,snfqk->msnfq", 1.0 - mtab, jnp.log1p(-qm)
+        )  # (M, S1, n, F, Q)
+        # Restrict q(m | z) to feasible configs: given z > 0 some spot must be
+        # present (theta in {1..K} forces m_theta = 1), so the all-zero m has
+        # zero model probability. The reference's unrestricted Bernoulli
+        # guide makes the exact ELBO -inf at its own default init
+        # (m_probs = 0.5, hmm.py:457-465); renormalizing over the feasible
+        # support is the correct limit of that family and keeps the
+        # estimator finite.
+        log_qm = log_qm + self._log_feasible_m(dtype)[:, :, None, None, None]
+        log_qm = log_qm - logsumexp(log_qm, axis=0, keepdims=True)
+        wq = jnp.exp(log_qm)
+        # zero-weight configs can carry -1e30 costs; neutralize exactly
+        log_qm = jnp.where(wq > 0.0, log_qm, 0.0)
+        lqh = gamma_log_prob(h, h_loc * h_beta, h_beta)
+        lqw = affine_beta_log_prob(w, w_mean, w_size, wmin, wmax)
+        lqx = affine_beta_log_prob(xs, x_mean, size, -lim, lim)
+        lqy = affine_beta_log_prob(ys, y_mean, size, -lim, lim)
+        term_q = jnp.einsum("mk,nfqk->mnfq", mtab, lqh + lqw + lqx + lqy)
+
+        ell = (
+            wq
+            * (
+                inner
+                + (term_hw + loglik - term_q)[:, None]
+                - log_qm
+            )
+        ).sum(0)  # (S1, n, F, Q)
+
+        frames_term = (gamma.transpose(3, 0, 1, 2) * ell).sum(0) + lp_b - lq_b
+        local_sum = (frames_term.sum((1, 2)) + chain_term) * mask
+        return global_term + (aoi_term + local_sum.sum()) * scale_n
+
+    # -- posteriors (reference: hmm.py:541-667) -----------------------------------
+    @property
+    def z_probs(self):
+        r"""q(z_f) marginals from the chain prefix product, (Nt, F, C, 1+S)."""
+        if not hasattr(self, "_z_probs_cache"):
+            A = jnp.asarray(self.param("z_trans"), self.dtype)
+            logA = jnp.log(jnp.clip(A, 1e-30, None))
+            alphas = cumulative_logmatmulexp(logA, axis=1)
+            self._z_probs_cache = np.asarray(
+                jnp.exp(alphas[..., 0, :]), np.float64
+            )
+        return self._z_probs_cache
+
+    @property
+    def pspecific(self):
+        return self.z_probs
+
+    @property
+    def theta_probs(self):
+        r"""q(theta = k, z = z_MAP), shape (K, Nt, F, Q)
+        (reference: hmm.py:541-625)."""
+        if not hasattr(self, "_theta_probs_cache"):
+            self._theta_probs_cache = self._compute_theta_probs()
+        return self._theta_probs_cache
+
+    @property
+    def compute_probs(self):
+        return self.z_probs, self.theta_probs
+
+    def compute_probs_arrays(self, num_particles=5, key=None):
+        return self.z_probs, self._compute_theta_probs(num_particles, key)
+
+    @property
+    def m_probs(self):
+        r"""q(m = 1, z = z_MAP) (reference: hmm.py:650-656)."""
+        qm = self.param("m_probs")  # (S1, K, Nt, F, C)
+        z_map = self.z_map  # (Nt, F, C)
+        qm_z = np.moveaxis(qm, (0, 1), (-1, 0))  # (K, Nt, F, C, S1)
+        return np.take_along_axis(qm_z, z_map[None, ..., None], axis=-1)[..., 0]
+
+    def _compute_theta_probs(self, num_particles=5, key=None):
+        S, K, Q = self.S, self.K, self.Q
+        P = self.data.P
+        dtype = self.dtype
+        key = jax.random.PRNGKey(0) if key is None else key
+        Nt, F = self.data.Nt, self.data.F
+        N = self.data.N
+        nb = self.nbatch_size
+        pc = self.constrained()
+        data = getattr(self, "_data_dev", None) or self._data_device_arrays()
+        z_map_full = jnp.asarray(self.z_map, jnp.int32)
+        theta_probs = np.zeros((K, Nt, F, Q), np.float64)
+
+        lim = (P + 1) / 2
+        prox_high = (P + 1) / math.sqrt(12)
+        mtab = jnp.asarray(m_configs(K), dtype)
+        lpt = log_probs_theta(K, S, dtype)
+
+        def block(pc, key, ndx, z_map):
+            x_mean = jnp.moveaxis(jnp.take(pc["x_mean"], ndx, 1), 0, -1)
+            y_mean = jnp.moveaxis(jnp.take(pc["y_mean"], ndx, 1), 0, -1)
+            size = jnp.moveaxis(jnp.take(pc["size"], ndx, 1), 0, -1)
+            qm_all = jnp.moveaxis(
+                jnp.take(pc["m_probs"], ndx, 2), 1, -1
+            )  # (S1, n, F, C, K)
+            # select q(m | z_map): (n, F, C, K)
+            qm = jnp.take_along_axis(
+                qm_all, z_map[None, ..., None], axis=0
+            )[0]
+
+            def one_particle(k):
+                ks = jax.random.split(k, 4)
+                lamda = gamma_sample(
+                    ks[0], pc["lamda_loc"] * pc["lamda_beta"], pc["lamda_beta"]
+                )
+                prox = affine_beta_sample(
+                    ks[1], pc["proximity_loc"], pc["proximity_size"], 0.0, prox_high
+                )
+                xs = affine_beta_sample(ks[2], x_mean, size, -lim, lim)
+                ys = affine_beta_sample(ks[3], y_mean, size, -lim, lim)
+
+                lpm1, lpm0 = log_probs_m(lamda, K)
+                log_pm_sum = jnp.einsum("mk,qtk->mtq", mtab, lpm1) + jnp.einsum(
+                    "mk,qtk->mtq", 1.0 - mtab, lpm0
+                )
+                size_sp = ((P + 1) / (2 * prox)) ** 2 - 1.0
+                lpxy_ns = affine_beta_log_prob(
+                    xs, 0.0, 2.0, -lim, lim
+                ) + affine_beta_log_prob(ys, 0.0, 2.0, -lim, lim)
+                lpxy_sp = affine_beta_log_prob(
+                    xs, 0.0, size_sp, -lim, lim
+                ) + affine_beta_log_prob(ys, 0.0, size_sp, -lim, lim)
+                spec_tk = jnp.asarray(
+                    np.arange(1 + K)[:, None] == 1 + np.arange(K), bool
+                )
+                lpxy_t = jnp.where(
+                    spec_tk[:, None, None, None, :], lpxy_sp[None], lpxy_ns[None]
+                )
+                term_xy = jnp.einsum("mk,tnfqk->mtnfq", mtab, lpxy_t)
+
+                # T conditioned on z = z_map
+                lpt_z = lpt[z_map]  # (n, F, C, 1+K)
+                T = (
+                    jnp.moveaxis(lpt_z, -1, 0)[None]  # (1, 1+K, n, F, Q)
+                    + log_pm_sum[:, :, None, None, :]  # (M, 1+K, 1, 1, Q)
+                    + term_xy  # (M, 1+K, n, F, Q)
+                )
+                T_norm = T - logsumexp(T, axis=1, keepdims=True)
+                log_qm = jnp.einsum(
+                    "mk,nfqk->mnfq", mtab, jnp.log(qm)
+                ) + jnp.einsum("mk,nfqk->mnfq", 1.0 - mtab, jnp.log1p(-qm))
+                # feasibility renormalization given z_map (see elbo)
+                feas = self._log_feasible_m(dtype)  # (M, S1)
+                log_qm = log_qm + jnp.moveaxis(feas[:, z_map], 0, 0)
+                log_qm = log_qm - logsumexp(log_qm, axis=0, keepdims=True)
+                r = logsumexp(T_norm + log_qm[:, None], axis=0)  # (1+K, n, F, Q)
+                return jnp.exp(r)[1:]  # (K, n, F, Q)
+
+            keys = jax.random.split(key, num_particles)
+            return jax.vmap(one_particle)(keys).mean(0)
+
+        fn = jax.jit(block)
+        for n0 in range(0, N, nb):
+            ndx_np = np.arange(n0, min(n0 + nb, N))
+            ndx = np.pad(ndx_np, (0, nb - len(ndx_np)), mode="edge")
+            key, sub = jax.random.split(key)
+            th = fn(pc, sub, jnp.asarray(ndx), z_map_full[jnp.asarray(ndx)])
+            theta_probs[:, ndx_np] = np.asarray(th, np.float64)[:, : len(ndx_np)]
+        return theta_probs
+
+    def z_sample(self, num_samples, key=None):
+        """Ancestral sampling of z trajectories from the q-chain
+        (reference: hmm.py:658-667)."""
+        key = jax.random.PRNGKey(11) if key is None else key
+        A = jnp.asarray(self.param("z_trans")[: self.data.N], self.dtype)
+        logA = jnp.log(jnp.clip(A, 1e-30, None))  # (N, F, C, S1, S1)
+        k0, k1 = jax.random.split(key)
+        z0 = jax.random.categorical(
+            k0, logA[:, 0, :, 0, :], shape=(num_samples,) + logA.shape[:1] + logA.shape[2:3]
+        )  # (num_samples, N, C)
+
+        def step(z_prev, inp):
+            logA_f, k = inp
+            logits = jnp.take_along_axis(
+                logA_f[None], z_prev[..., None, None], axis=-2
+            )[..., 0, :]
+            z = jax.random.categorical(k, logits)
+            return z, z
+
+        keys = jax.random.split(k1, self.data.F - 1)
+        _, zs = jax.lax.scan(
+            step, z0, (jnp.moveaxis(logA[:, 1:], 1, 0), keys)
+        )
+        out = jnp.concatenate([z0[None], zs], 0)  # (F, num_samples, N, C)
+        return np.asarray(jnp.moveaxis(out, 0, 2))  # (num_samples, N, F, C)
+
+    def compute_params(self, CI):
+        params = super().compute_params(CI)
+        params["z_trans"] = self.param("z_trans")
+        return params
