@@ -304,14 +304,22 @@ class cosmos(Model):
         """Hook for subclasses (crosstalk alpha, hmm init/trans)."""
         return global_term
 
-    def _local_marginalized(
-        self, pc, obs, target_locs, ont, gain, pi, lamda, prox, b,
-        h, w, xs, ys, qm,
-        h_loc, h_beta, w_mean, w_size, x_mean, y_mean, size, data,
+    def _dye_tables(
+        self, ont, pi, lamda, prox, h, w, xs, ys, qm,
+        h_loc, h_beta, w_mean, w_size, x_mean, y_mean, size,
     ):
-        """E_q(m)[ log-marginal over (z, theta) + spot priors + likelihood
-        - guide terms ], per (n, f, c). All spot tensors are (n, f, Q, K)."""
-        S, K, Q = self.S, self.K, self.Q
+        """Per-dye discrete tables, each (M=2^K, n, f, Q):
+
+        * inner    - logsumexp over (z, theta) of the model's discrete joint
+        * term_hw  - sum_k m_k (log p(h_k) + log p(w_k))
+        * log_qm   - log q(m-config)
+        * term_q   - sum_k m_k log q(h, w, x, y)
+
+        The per-(z, theta, m) structure factorizes across dyes (each dye has
+        its own z_q/theta_q/m_q), so crosstalk reuses these tables and only
+        the image likelihood couples dyes.
+        """
+        S, K = self.S, self.K
         P = self.data.P
         dtype = self.dtype
         priors = self.priors
@@ -358,24 +366,42 @@ class cosmos(Model):
         lpw = affine_beta_log_prob(w, 1.5, 2.0, wmin, wmax)
         term_hw = jnp.einsum("mk,nfqk->mnfq", mtab, lph + lpw)
 
-        # likelihood per m-config
+        # guide terms
+        log_qm = jnp.einsum("mk,nfqk->mnfq", mtab, jnp.log(qm)) + jnp.einsum(
+            "mk,nfqk->mnfq", 1.0 - mtab, jnp.log1p(-qm)
+        )  # (M, n, f, Q)
+        lqh = gamma_log_prob(h, h_loc * h_beta, h_beta)
+        lqw = affine_beta_log_prob(w, w_mean, w_size, wmin, wmax)
+        lqx = affine_beta_log_prob(xs, x_mean, size, -lim, lim)
+        lqy = affine_beta_log_prob(ys, y_mean, size, -lim, lim)
+        term_q = jnp.einsum("mk,nfqk->mnfq", mtab, lqh + lqw + lqx + lqy)
+
+        return inner, term_hw, log_qm, term_q
+
+    def _local_marginalized(
+        self, pc, obs, target_locs, ont, gain, pi, lamda, prox, b,
+        h, w, xs, ys, qm,
+        h_loc, h_beta, w_mean, w_size, x_mean, y_mean, size, data,
+    ):
+        """E_q(m)[ log-marginal over (z, theta) + spot priors + likelihood
+        - guide terms ], per (n, f, c). All spot tensors are (n, f, Q, K)."""
+        K, P = self.K, self.data.P
+        dtype = self.dtype
+        mtab = jnp.asarray(m_configs(K), dtype)
+
+        inner, term_hw, log_qm, term_q = self._dye_tables(
+            ont, pi, lamda, prox, h, w, xs, ys, qm,
+            h_loc, h_beta, w_mean, w_size, x_mean, y_mean, size,
+        )
+        wq = jnp.exp(log_qm)
+
+        # likelihood per m-config (Q == C for cosmos)
         gauss = gaussian_spots(h, w, xs, ys, target_locs, P)  # (n, f, C, K, P, P)
         img = b[..., None, None] + jnp.einsum("mk,nfckij->mnfcij", mtab, gauss)
         loglik = offset_gamma_log_prob(
             obs, img / gain, 1.0 / gain,
             data["offset_samples"], data["offset_logits"], self.use_pallas,
         ).sum((-2, -1))  # (M, n, f, C)
-
-        # guide terms
-        log_qm = jnp.einsum("mk,nfqk->mnfq", mtab, jnp.log(qm)) + jnp.einsum(
-            "mk,nfqk->mnfq", 1.0 - mtab, jnp.log1p(-qm)
-        )  # (M, n, f, Q)
-        wq = jnp.exp(log_qm)
-        lqh = gamma_log_prob(h, h_loc * h_beta, h_beta)
-        lqw = affine_beta_log_prob(w, w_mean, w_size, wmin, wmax)
-        lqx = affine_beta_log_prob(xs, x_mean, size, -lim, lim)
-        lqy = affine_beta_log_prob(ys, y_mean, size, -lim, lim)
-        term_q = jnp.einsum("mk,nfqk->mnfq", mtab, lqh + lqw + lqx + lqy)
 
         return (wq * (inner + term_hw + loglik - log_qm - term_q)).sum(0)  # (n, f, Q)
 

@@ -1,0 +1,142 @@
+"""Glimpse ingest tests on a synthetic raw dataset."""
+
+import os
+
+import numpy as np
+import pytest
+from scipy.io import savemat
+
+from tapqir_tpu.imscroll import GlimpseDataset, bin_hist, read_glimpse
+
+
+@pytest.fixture()
+def glimpse_dir(tmp_path):
+    """Synthesize header.mat + driftlist + aoiinfo + raw .glimpse binaries."""
+    H, W, F = 48, 64, 6
+    rng = np.random.default_rng(0)
+    gdir = tmp_path / "glimpse"
+    gdir.mkdir()
+
+    # frames: dark background ~90 (offset), bright 7x7 squares at AOI centers
+    frames = rng.integers(88, 93, size=(F, H, W))
+    aoi_centers = [(20, 12), (30, 40)]  # (y, x), 0-based
+    off_centers = [(10, 50)]
+    for f in range(F):
+        for y, x in aoi_centers:
+            frames[f, y - 3 : y + 4, x - 3 : x + 4] += 400
+        # off-target stays dark
+    # raw storage: big-endian int16, value - 2^15
+    per_frame_bytes = H * W * 2
+    offsets = []
+    filenumbers = []
+    with open(gdir / "0.glimpse", "wb") as fh:
+        for f in range(F):
+            offsets.append(fh.tell())
+            filenumbers.append(0)
+            (frames[f] - 2**15).astype(">i2").tofile(fh)
+
+    header = {
+        "vid": {
+            "height": H,
+            "width": W,
+            "nframes": F,
+            "filenumber": np.array(filenumbers),
+            "offset": np.array(offsets),
+            "ttb": np.arange(F) * 100.0,
+            "time1": 12345.0,
+        }
+    }
+    savemat(gdir / "header.mat", header)
+
+    # driftlist: zero drift except small dx on later frames
+    drift = np.zeros((F, 3))
+    drift[:, 0] = np.arange(1, F + 1)  # frame numbers (1-based)
+    savemat(tmp_path / "driftlist.mat", {"driftlist": drift})
+
+    # aoiinfo: matlab 1-based coordinates
+    def aoiinfo_rows(centers):
+        # real aoiinfo coordinates are fractional (sub-pixel localization)
+        return np.array(
+            [
+                [1, 1.0, y + 1 + 0.3, x + 1 + 0.4, 7, i + 1]
+                for i, (y, x) in enumerate(centers)
+            ],
+            float,
+        )
+
+    savemat(tmp_path / "aoi_on.mat", {"aoiinfo2": aoiinfo_rows(aoi_centers)})
+    savemat(tmp_path / "aoi_off.mat", {"aoiinfo2": aoiinfo_rows(off_centers)})
+    return tmp_path, gdir
+
+
+def _config(tmp_path, gdir):
+    return {
+        "P": 14,
+        "num-channels": 1,
+        "dataset": "synthetic",
+        "offset-P": 8,
+        "bin-size": 1,
+        "frame-range": False,
+        "frame-start": None,
+        "frame-end": None,
+        "use-offtarget": True,
+        "labels": False,
+        "channels": [
+            {
+                "name": "channel0",
+                "glimpse-folder": str(gdir),
+                "driftlist": str(tmp_path / "driftlist.mat"),
+                "ontarget-aoiinfo": str(tmp_path / "aoi_on.mat"),
+                "offtarget-aoiinfo": str(tmp_path / "aoi_off.mat"),
+                "ontarget-labels": None,
+                "offtarget-labels": None,
+            }
+        ],
+        "offset-x": 0,
+        "offset-y": 38,
+    }
+
+
+def test_glimpse_dataset_frame_read(glimpse_dir):
+    tmp_path, gdir = glimpse_dir
+    cfg = _config(tmp_path, gdir)
+    kwargs = {k: v for k, v in cfg.items() if k not in
+              ("P", "num-channels", "dataset", "offset-P", "bin-size", "channels")}
+    g = GlimpseDataset(**kwargs, **cfg["channels"][0])
+    assert g.N == 2 and g.Nc == 1 and g.F == 6
+    img = g[1]
+    assert img.shape == (48, 64)
+    # unsigned shift restores raw values around 90 (dark) / 490 (spots)
+    assert 85 <= np.median(img) <= 95
+    assert img[20, 12] > 400
+
+
+def test_read_glimpse_end_to_end(glimpse_dir):
+    tmp_path, gdir = glimpse_dir
+    os.environ["CI"] = "true"  # skip QC plots
+    data = read_glimpse(tmp_path, **_config(tmp_path, gdir))
+    assert data.Nt == 3 and data.N == 2 and data.Nc == 1
+    assert data.images.shape == (3, 6, 1, 14, 14)
+    # targets within the central pixel
+    assert (data.xy > 0.5 * 14 - 1).all() and (data.xy < 0.5 * 14).all()
+    # on-target crops capture the bright square; off-target crop stays dark
+    assert data.images[0, 0, 0].max() > 400
+    assert data.images[2, 0, 0].max() < 200
+    # offset histogram covers the dark corner values
+    assert 88 <= data.offset.mean <= 93
+    # saved to disk
+    assert (tmp_path / "data.tpqr").exists()
+    # loadable
+    from tapqir_tpu.utils.dataset import load
+
+    loaded = load(tmp_path)
+    np.testing.assert_array_equal(loaded.images, data.images)
+
+
+def test_bin_hist():
+    samples = np.arange(10)
+    weights = np.ones(10) / 10
+    s2, w2 = bin_hist(samples, weights, 3)
+    assert s2[0] == 0 and w2[0] == pytest.approx(0.1)
+    np.testing.assert_allclose(w2.sum(), 1.0)
+    assert len(s2) == 1 + 3  # 1 + q + remainder
