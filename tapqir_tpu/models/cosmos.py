@@ -103,12 +103,12 @@ class cosmos(Model):
         eps = float(np.finfo(np.float32).eps)
         lim = (P + 1) / 2
         wmin, wmax = self.priors["width_min"], self.priors["width_max"]
-        bg_init = np.broadcast_to(
-            (data.median - data.offset.mean)[None, None, :], (Nt, 1, C)
-        )
-        b_init = np.broadcast_to(
-            (data.median - data.offset.mean)[None, None, :], (Nt, F, C)
-        )
+        # median minus offset baseline (reference: cosmos.py:530-548);
+        # floored at 1 so degenerate datasets (median <= offset mean) do not
+        # produce a non-positive init for a positive-constrained parameter
+        bg0 = np.maximum(data.median - data.offset.mean, 1.0)
+        bg_init = np.broadcast_to(bg0[None, None, :], (Nt, 1, C))
+        b_init = np.broadcast_to(bg0[None, None, :], (Nt, F, C))
         spec = {
             "pi_mean": (np.ones((Q, S + 1)) / (S + 1), constraints.simplex()),
             "pi_size": (np.full((Q, 1), 2.0), constraints.positive()),

@@ -1,0 +1,121 @@
+"""End-to-end CLI tests (mirrors reference test/test_tapqir.py:53-93)."""
+
+import os
+
+import numpy as np
+import pytest
+from click.testing import CliRunner
+
+from tapqir_tpu.main import app
+from tapqir_tpu.utils.dataset import save
+from tapqir_tpu.utils.simulate import simulate
+
+runner = CliRunner()
+
+os.environ["CI"] = "true"  # skip plot generation
+
+
+def _sim_params(model):
+    params = {
+        "width": 1.4, "gain": 7.0, "lamda": 0.15, "proximity": 0.2,
+        "offset": 90.0, "height": 3000, "background": 150,
+    }
+    if model == "cosmos":
+        params["pi"] = 0.15
+    elif model == "crosstalk":
+        params["pi"] = 0.15
+        params["alpha"] = [[1.0]]
+    else:
+        params["kon"] = 0.2
+        params["koff"] = 0.2
+    return params
+
+
+@pytest.fixture(params=["cosmos", "crosstalk", "cosmos+hmm"])
+def dataset_path(request, tmp_path):
+    model = request.param
+    data = simulate(model, N=2, F=5, C=1, P=14, seed=0, params=_sim_params(model))
+    save(data, tmp_path)
+    return tmp_path, model
+
+
+def test_fit_and_stats_commands(dataset_path):
+    tmp_path, model = dataset_path
+    commands = [
+        [
+            "--cd", str(tmp_path), "fit",
+            "--model", model, "-S", "1",
+            "--learning-rate", "0.005",
+            "--nbatch-size", "2", "--fbatch-size", "5",
+            "--num-iter", "1", "--cpu", "--no-input",
+        ],
+        [
+            "--cd", str(tmp_path), "stats",
+            "--model", model,
+            "--nbatch-size", "2", "--fbatch-size", "5",
+            "--cpu", "--matlab", "--no-input",
+        ],
+    ]
+    for command in commands:
+        result = runner.invoke(app, command)
+        assert result.exit_code == 0, result.output + repr(result.exception)
+    assert (tmp_path / f"{model}_params.tpqr").exists()
+    assert (tmp_path / f"{model}_summary.csv").exists()
+    assert (tmp_path / f"{model}_params.mat").exists()
+    assert (tmp_path / ".tapqir" / "config.yaml").exists()
+    assert (tmp_path / ".tapqir" / "loginfo").exists()
+
+
+def test_kinetics_commands(tmp_path):
+    # cosmos end-to-end incl. ttfb + dwelltime on a slightly larger dataset
+    data = simulate(
+        "cosmos", N=4, F=30, C=1, P=14, seed=0, params=_sim_params("cosmos")
+    )
+    save(data, tmp_path)
+    result = runner.invoke(
+        app,
+        ["--cd", str(tmp_path), "fit", "--model", "cosmos",
+         "--nbatch-size", "4", "--fbatch-size", "30",
+         "--num-iter", "200", "--cpu", "--no-input"],
+    )
+    assert result.exit_code == 0, result.output + repr(result.exception)
+
+    result = runner.invoke(
+        app,
+        ["--cd", str(tmp_path), "ttfb", "--model", "cosmos",
+         "--num-samples", "20", "--num-iter", "200", "--cpu"],
+    )
+    assert result.exit_code == 0, result.output + repr(result.exception)
+    assert (tmp_path / "cosmos_ttfb-params-channel0.csv").exists()
+    assert (tmp_path / "cosmos_ttfb-fraction-bound-channel0.csv").exists()
+
+    result = runner.invoke(
+        app,
+        ["--cd", str(tmp_path), "dwelltime", "--model", "cosmos", "-K", "1",
+         "--num-samples", "10", "--num-iter", "200", "--cpu"],
+    )
+    assert result.exit_code == 0, result.output + repr(result.exception)
+    assert (tmp_path / "cosmos_dwelltime-koff-channel0.csv").exists()
+    assert (tmp_path / "cosmos_dwelltime-kon-channel0.csv").exists()
+    assert (tmp_path / "cosmos_dwelltime-intervals-channel0.mat").exists()
+
+
+def test_subset_command(tmp_path):
+    data = simulate("cosmos", N=4, F=5, C=1, P=14, seed=0,
+                    params=_sim_params("cosmos"))
+    save(data, tmp_path)
+    (tmp_path / "aoi_subset.txt").write_text("0, 2\n")
+    result = runner.invoke(app, ["--cd", str(tmp_path), "subset"])
+    assert result.exit_code == 0, result.output + repr(result.exception)
+    from tapqir_tpu.utils.dataset import load
+
+    sub = load(tmp_path / "subset")
+    assert sub.Nt == 2
+    np.testing.assert_array_equal(sub.images[0], data.images[0])
+    np.testing.assert_array_equal(sub.images[1], data.images[2])
+
+
+def test_version():
+    result = runner.invoke(app, ["--version"])
+    assert result.exit_code == 0
+    assert "0.1.0" in result.output

@@ -140,3 +140,26 @@ def test_bin_hist():
     assert s2[0] == 0 and w2[0] == pytest.approx(0.1)
     np.testing.assert_allclose(w2.sum(), 1.0)
     assert len(s2) == 1 + 3  # 1 + q + remainder
+
+
+def test_native_decoder_matches_numpy(glimpse_dir):
+    tmp_path, gdir = glimpse_dir
+    pytest.importorskip("ctypes")
+    try:
+        from tapqir_tpu.csrc import glimpse_native
+        img_native = glimpse_native.read_frame(gdir / "0.glimpse", 0, 48, 64)
+    except Exception as err:
+        pytest.skip(f"native build unavailable: {err}")
+    with open(gdir / "0.glimpse", "rb") as fid:
+        img_np = np.fromfile(fid, dtype=">i2", count=48 * 64).reshape(48, 64)
+    np.testing.assert_array_equal(img_native, img_np.astype(np.int32))
+
+    # batch read + shifted values
+    frames = glimpse_native.read_frames(gdir / "0.glimpse", [0, 48 * 64 * 2], 48, 64)
+    assert frames.shape == (2, 48, 64)
+    np.testing.assert_array_equal(frames[0], img_np.astype(np.int32) + 2**15)
+
+    # crops
+    crops = glimpse_native.crop_aois(frames[0], [5, 20], [3, 10], 14)
+    np.testing.assert_array_equal(crops[0], frames[0][3:17, 5:19])
+    np.testing.assert_array_equal(crops[1], frames[0][10:24, 20:34])
