@@ -280,17 +280,22 @@ def _make_model(model, S, k_max, cpu, dtype):
               help="Number of iterations (0 = run to convergence)")
 @click.option("--k-max", "-k", type=int, default=2,
               help="Maximum number of spots per image")
+@click.option("--num-restarts", "-R", type=int, default=1,
+              help="Batched random restarts: run R vmapped SVI chains and "
+                   "keep the best (by trailing -ELBO)")
 @click.option("--matlab", is_flag=True,
               default=lambda: bool(get_default("matlab", False)),
               help="Save parameters in matlab format")
 @click.option("--dtype", type=click.Choice(["float32", "double", "bfloat16"]),
               default="float32", help="Floating point precision")
+@click.option("--profile", type=int, default=0,
+              help="Capture a jax profiler trace of N training steps and exit")
 @click.option("--overwrite", "-w", is_flag=True, default=True,
               help="Persist these values to config.yaml")
 @click.option("--no-input", is_flag=True, default=False,
               help="Disable interactive prompt.")
 def fit(model, S, cpu, nbatch_size, fbatch_size, learning_rate, num_iter,
-        k_max, matlab, dtype, overwrite, no_input):
+        k_max, num_restarts, matlab, dtype, profile, overwrite, no_input):
     """Fit the data to the selected model (reference: tapqir/main.py:321-485).
 
     Available models: cosmos (time-independent), cosmos+hmm (hidden Markov),
@@ -316,8 +321,26 @@ def fit(model, S, cpu, nbatch_size, fbatch_size, learning_rate, num_iter,
         logger.exception(f"Failed to load {err.name} file")
         sys.exit(1)
     m.init(learning_rate, nbatch_size, fbatch_size)
+    if profile:
+        out = m.profile_trace(num_steps=profile)
+        logger.info(f"Profiler trace written to {out}")
+        return 0
     try:
-        m.run(num_iter, progress_bar=_progress())
+        if num_restarts > 1:
+            from tapqir_tpu.parallel.restarts import fit_restarts
+
+            logger.info(f"Running {num_restarts} batched random restarts ...")
+            losses, best = fit_restarts(
+                m, num_restarts=num_restarts,
+                num_iter=num_iter or 2000,
+                progress=lambda it, loss: logger.info(
+                    f"restarts @{it}: best -ELBO {loss:.1f}"
+                ),
+            )
+            logger.info(f"Selected restart #{best}")
+            m.save_checkpoint()
+        else:
+            m.run(num_iter, progress_bar=_progress())
     except TpuOutOfMemoryError:
         logger.exception("Failed to fit the data")
         sys.exit(1)

@@ -199,6 +199,8 @@ class Model:
 
         self._key = jax.random.PRNGKey(0)
         self._jit = jit
+        self._tb_writer = None
+        self._tb_failed = False
         self._build_step()
 
     def _build_step(self):
@@ -365,8 +367,8 @@ class Model:
         logger.debug(f"Iteration #{self.iter}: Successful.")
 
     def _log_metrics(self):
-        """Append scalar metrics to a CSV (TensorBoard-scalar analog,
-        reference: model.py:285-298)."""
+        """Append scalar metrics to a CSV and (when tensorboard is
+        available) TensorBoard (reference: model.py:285-298)."""
         log_dir = self.run_path / "logs" / self.name
         log_dir.mkdir(parents=True, exist_ok=True)
         csv_path = log_dir / "metrics.csv"
@@ -383,6 +385,35 @@ class Model:
             if write_header:
                 f.write(",".join(scalars.keys()) + "\n")
             f.write(",".join(str(v) for v in scalars.values()) + "\n")
+
+        if self._tb_writer is None and not self._tb_failed:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb_writer = SummaryWriter(log_dir=str(log_dir))
+            except Exception:
+                self._tb_failed = True
+        if self._tb_writer is not None:
+            for k, v in scalars.items():
+                if k != "iter":
+                    self._tb_writer.add_scalar(k, v, self.iter)
+
+    def profile_trace(self, num_steps: int = 20, log_dir=None):
+        """Capture a jax profiler trace of the training step (SURVEY.md
+        section 5.1: the TPU build adds jax.profiler hooks on top of the
+        reference's scalar-only logging). View with TensorBoard's profile
+        plugin or Perfetto."""
+        log_dir = Path(log_dir) if log_dir else self.run_path / "profile"
+        log_dir.mkdir(parents=True, exist_ok=True)
+        self._key, sub = jax.random.split(self._key)
+        # warmup/compile outside the trace
+        p, o, losses = self._run_chunk(self.params, self.opt_state, sub, num_steps)
+        np.asarray(losses)
+        with jax.profiler.trace(str(log_dir)):
+            p, o, losses = self._run_chunk(p, o, sub, num_steps)
+            np.asarray(losses)
+        logger.info(f"Saved a profiler trace of {num_steps} steps in {log_dir}")
+        return log_dir
 
     def load_checkpoint(self, path=None, param_only=False, warnings=False):
         """Load checkpoint (reference: model.py:325-357)."""

@@ -119,3 +119,32 @@ def test_version():
     result = runner.invoke(app, ["--version"])
     assert result.exit_code == 0
     assert "0.1.0" in result.output
+
+
+def test_fit_num_restarts(tmp_path):
+    data = simulate("cosmos", N=2, F=5, C=1, P=14, seed=0,
+                    params=_sim_params("cosmos"))
+    save(data, tmp_path)
+    result = runner.invoke(
+        app,
+        ["--cd", str(tmp_path), "fit", "--model", "cosmos",
+         "--nbatch-size", "2", "--fbatch-size", "5",
+         "--num-iter", "20", "--num-restarts", "2", "--cpu", "--no-input"],
+    )
+    assert result.exit_code == 0, result.output + repr(result.exception)
+    assert (tmp_path / "cosmos_summary.csv").exists()
+
+
+def test_fit_profile(tmp_path):
+    data = simulate("cosmos", N=2, F=5, C=1, P=14, seed=0,
+                    params=_sim_params("cosmos"))
+    save(data, tmp_path)
+    result = runner.invoke(
+        app,
+        ["--cd", str(tmp_path), "fit", "--model", "cosmos",
+         "--nbatch-size", "2", "--fbatch-size", "5",
+         "--profile", "3", "--cpu", "--no-input"],
+    )
+    assert result.exit_code == 0, result.output + repr(result.exception)
+    prof = tmp_path / ".tapqir" / "profile"
+    assert prof.exists() and any(prof.rglob("*"))

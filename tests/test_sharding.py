@@ -102,3 +102,29 @@ def test_graft_entry_multichip():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_fit_restarts_selects_best():
+    from tapqir_tpu.parallel.restarts import fit_restarts
+
+    model = _model(Nt=4, F=10)
+    model.lr = 0.005
+    model.tx = optax.adam(0.005)
+    losses, best = fit_restarts(
+        model, num_restarts=3, num_iter=100, chunk=50, perturb=0.1
+    )
+    assert losses.shape == (3, 100)
+    assert np.isfinite(losses).all()
+    # the winner's trailing loss is the minimum
+    tail = losses[:, -10:].mean(1)
+    assert best == int(np.argmin(tail))
+    # model now carries the winning (un-vmapped) params
+    for k, v in model.params.items():
+        assert v.shape == model._transforms[k](v).shape
+    # and can continue training from there
+    model._key = jax.random.PRNGKey(3)
+    model._jit = True
+    model._build_step()
+    p2, o2, l2 = model._run_chunk(model.params, model.opt_state,
+                                  jax.random.PRNGKey(4), 5)
+    assert np.isfinite(np.asarray(l2)).all()
