@@ -128,3 +128,67 @@ def test_fit_restarts_selects_best():
     p2, o2, l2 = model._run_chunk(model.params, model.opt_state,
                                   jax.random.PRNGKey(4), 5)
     assert np.isfinite(np.asarray(l2)).all()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_prefix_scan_matches_global():
+    """Sequence-parallel logmatmulexp prefix scan over a sharded frame axis
+    (SURVEY.md section 5.7)."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from tapqir_tpu.ops.scan import (
+        cumulative_logmatmulexp,
+        sharded_cumulative_logmatmulexp,
+    )
+
+    rng = np.random.default_rng(0)
+    n, F, S = 3, 16, 2
+    A = rng.dirichlet(np.ones(S), size=(n, F, S)).astype(np.float32)
+    logA = jnp.log(jnp.asarray(A))  # (n, F, S, S)
+
+    want = np.asarray(cumulative_logmatmulexp(logA, axis=1))
+
+    mesh = make_mesh(1, 8)  # frame axis sharded over 8 devices
+
+    def body(logA_local):
+        return sharded_cumulative_logmatmulexp(logA_local, axis=1, axis_name="frame")
+
+    got = jax.jit(
+        jax.shard_map(
+            body, mesh=mesh,
+            in_specs=P(None, "frame", None, None),
+            out_specs=P(None, "frame", None, None),
+        )
+    )(logA)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_train_step_hmm_aoi_mesh():
+    """hmm trains over an AOI-sharded mesh (its chain couples frames)."""
+    from tapqir_tpu.utils.simulate import simulate as sim
+
+    params = dict(PARAMS)
+    del params["pi"]
+    params["kon"] = 0.2
+    params["koff"] = 0.2
+    data = sim("cosmos+hmm", N=8, F=8, C=1, P=14, seed=0, params=params)
+    model = models["cosmos+hmm"]()
+    model.data = data
+    model.nbatch_size = 1
+    model.fbatch_size = 8
+    model.init_parameters()
+    model._data_dev = model._data_device_arrays()
+
+    mesh = make_mesh(8, 1)
+    tx = optax.adam(0.005)
+    params_sh, data_sh = shard_params_and_data(
+        mesh, model.params, model.param_partition(), model._data_dev
+    )
+    opt_state = tx.init(params_sh)
+    run = make_sharded_train_fn(model, mesh, tx)
+    _, _, losses = run(params_sh, opt_state, jax.random.PRNGKey(0), data_sh, 2)
+    losses = np.asarray(losses)
+    assert losses.shape == (2,)
+    assert np.isfinite(losses).all()
