@@ -16,11 +16,13 @@ Key optimizations over the fused-XLA path:
   are computed ONCE per pixel tile and staged in VMEM, then reused for all
   M m-configurations (XLA recomputes them per config, and its two-pass
   logsumexp reduction evaluates the elementwise input twice);
-* transcendental count per (pixel, offset): 1 log + M exp, vs the XLA
-  path's M * (2 log + 2 exp);
-* a custom VJP kernel reuses the forward output, so the backward pass costs
-  about the same as the forward instead of rematerializing the full
-  (pixels, offsets) broadcast.
+* the gradient statistics d(lse)/da = sum_j p_j log(x - g_j) and
+  d(lse)/db = -sum_j p_j (x - g_j) are accumulated DURING the forward pass
+  from the same exp(t - max) values (zero extra transcendentals), so the
+  custom-VJP backward is a trivial elementwise multiply - the grad step
+  costs one forward instead of a forward plus a full backward kernel;
+* transcendental count per (pixel, offset): 1 log + M exp for forward AND
+  gradient together, vs M * (2 log + 2 exp) forward-only for fused XLA.
 
 Layout: pixels are flattened and tiled (TR, 128); offsets live in SMEM and
 are looped ``fori_loop``-style with full-tile VPU ops per step.
@@ -45,143 +47,127 @@ def _interpret():
 
 
 def _pick_tile_rows(J: int):
-    """Rows per tile so that the two (J, TR, 128) f32 scratch buffers fit
+    """Rows per tile so the three (J, TR, 128) f32 scratch buffers fit
     comfortably in VMEM (~16 MB/core)."""
     for tr in (32, 16, 8):
-        if 2 * J * tr * LANE * 4 <= 6 * 1024 * 1024:
+        if 3 * J * tr * LANE * 4 <= 6 * 1024 * 1024:
             return tr
     return None  # J too large for this kernel; caller falls back to XLA
 
 
-def _fwd_kernel(g_ref, w_ref, b_ref, x_ref, a_ref, out_ref, lbuf, cbuf):
+def _stage(g_ref, w_ref, b, x, lbuf, cbuf, dbuf):
+    """Fill L = log(x - g_j), c = w_j - b (x - g_j), d = x - g_j (masked)."""
     J = g_ref.shape[0]
-    M = a_ref.shape[0]
-    b = b_ref[0]
-    x = x_ref[:]  # (TR, 128)
-
-    def stage(j, _):
-        d = x - g_ref[j]
-        ok = d > 0.0
-        lbuf[j] = jnp.where(ok, jnp.log(jnp.where(ok, d, 1.0)), 0.0)
-        cbuf[j] = jnp.where(ok, w_ref[j] - b * d, NEG)
-        return 0
-
-    jax.lax.fori_loop(0, J, stage, 0)
-
-    L = lbuf[:]  # (J, TR, 128)
-    c = cbuf[:]
-    for m in range(M):  # static unroll over m-configurations
-        t = c + (a_ref[m] - 1.0) * L  # (J, TR, 128)
-        mx = jnp.max(t, axis=0)  # (TR, 128)
-        s = jnp.sum(jnp.exp(t - mx), axis=0)
-        out_ref[m] = mx + jnp.log(s)
-
-
-def _bwd_kernel(g_ref, w_ref, b_ref, x_ref, a_ref, out_ref, go_ref,
-                da_ref, db_ref):
-    """Single-pass accumulation: p_j = exp(t_j - out) is the softmax weight;
-    d lse/d a = sum_j p_j L_j and d lse/d b = -sum_j p_j (x - g_j)."""
-    J = g_ref.shape[0]
-    M = a_ref.shape[0]
-    b = b_ref[0]
-    x = x_ref[:]
-
-    for m in range(M):
-        da_ref[m] = jnp.zeros_like(x)
-        db_ref[m] = jnp.zeros_like(x)
 
     def body(j, _):
         d = x - g_ref[j]
         ok = d > 0.0
-        L = jnp.where(ok, jnp.log(jnp.where(ok, d, 1.0)), 0.0)
-        c = jnp.where(ok, w_ref[j] - b * d, NEG)
-        for m in range(M):
-            p = jnp.exp(c + (a_ref[m] - 1.0) * L - out_ref[m])
-            p = jnp.where(ok, p, 0.0)
-            da_ref[m] += p * L
-            db_ref[m] += p * d
+        lbuf[j] = jnp.where(ok, jnp.log(jnp.where(ok, d, 1.0)), 0.0)
+        cbuf[j] = jnp.where(ok, w_ref[j] - b * d, NEG)
+        dbuf[j] = jnp.where(ok, d, 0.0)
         return 0
 
     jax.lax.fori_loop(0, J, body, 0)
+
+
+def _fwd_kernel(g_ref, w_ref, b_ref, x_ref, a_ref, out_ref, lbuf, cbuf, dbuf):
+    M = a_ref.shape[0]
+    _stage(g_ref, w_ref, b_ref[0], x_ref[:], lbuf, cbuf, dbuf)
+    L, c = lbuf[:], cbuf[:]
+    for m in range(M):  # static unroll over m-configurations
+        t = c + (a_ref[m] - 1.0) * L  # (J, TR, 128)
+        mx = jnp.max(t, axis=0)
+        s = jnp.sum(jnp.exp(t - mx), axis=0)
+        out_ref[m] = mx + jnp.log(s)
+
+
+def _fwd_stats_kernel(g_ref, w_ref, b_ref, x_ref, a_ref,
+                      out_ref, spl_ref, spd_ref, lbuf, cbuf, dbuf):
+    """Forward + gradient statistics from the same exponentials:
+    spl = sum_j p_j L_j (= d lse/d a), spd = sum_j p_j d_j (= -d lse/d b)."""
+    M = a_ref.shape[0]
+    _stage(g_ref, w_ref, b_ref[0], x_ref[:], lbuf, cbuf, dbuf)
+    L, c, d = lbuf[:], cbuf[:], dbuf[:]
     for m in range(M):
-        da_ref[m] = go_ref[m] * da_ref[m]
-        db_ref[m] = -go_ref[m] * db_ref[m]
+        t = c + (a_ref[m] - 1.0) * L
+        mx = jnp.max(t, axis=0)
+        e = jnp.exp(t - mx)  # (J, TR, 128); masked entries underflow to 0
+        s = jnp.sum(e, axis=0)
+        inv_s = 1.0 / s
+        out_ref[m] = mx + jnp.log(s)
+        spl_ref[m] = jnp.sum(e * L, axis=0) * inv_s
+        spd_ref[m] = jnp.sum(e * d, axis=0) * inv_s
 
 
-def _pad_rows(arr, rows_to, lane_to):
-    pad = [(0, 0)] * (arr.ndim - 2) + [
-        (0, rows_to - arr.shape[-2]),
-        (0, lane_to - arr.shape[-1]),
-    ]
+def _pad_rows(arr, lane_to):
+    pad = [(0, 0)] * (arr.ndim - 1) + [(0, lane_to - arr.shape[-1])]
     return jnp.pad(arr, pad, constant_values=1.0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
-def _lse_core(x2d, a3d, rate, g, w):
-    return _lse_fwd_impl(x2d, a3d, rate, g, w)
+def _common_specs(M, TR, J):
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # g (J,)
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # w (J,)
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # rate (1,)
+        pl.BlockSpec((TR, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((M, TR, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec((M, TR, LANE), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((J, TR, LANE), jnp.float32),
+        pltpu.VMEM((J, TR, LANE), jnp.float32),
+        pltpu.VMEM((J, TR, LANE), jnp.float32),
+    ]
+    return in_specs, out_spec, scratch
 
 
-def _lse_fwd_impl(x2d, a3d, rate, g, w):
+def _lse_plain(x2d, a3d, rate, g, w):
     M, R, _ = a3d.shape
     J = g.shape[0]
     TR = _pick_tile_rows(J)
-    grid = (R // TR,)
+    in_specs, out_spec, scratch = _common_specs(M, TR, J)
     return pl.pallas_call(
         _fwd_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # g (J,)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # w (J,)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # rate (1,)
-            pl.BlockSpec((TR, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, TR, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (M, TR, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-        ),
+        grid=(R // TR,),
+        in_specs=in_specs,
+        out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((M, R, LANE), x2d.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((J, TR, LANE), x2d.dtype),
-            pltpu.VMEM((J, TR, LANE), x2d.dtype),
-        ],
+        scratch_shapes=scratch,
         interpret=_interpret(),
     )(g, w, rate.reshape(1), x2d, a3d)
 
 
-def _lse_fwd(x2d, a3d, rate, g, w):
-    out = _lse_fwd_impl(x2d, a3d, rate, g, w)
-    return out, (x2d, a3d, rate, g, w, out)
-
-
-def _lse_bwd(res, go):
-    x2d, a3d, rate, g, w, out = res
+def _lse_stats(x2d, a3d, rate, g, w):
     M, R, _ = a3d.shape
     J = g.shape[0]
     TR = _pick_tile_rows(J)
-    grid = (R // TR,)
-    da, db = pl.pallas_call(
-        _bwd_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((TR, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, TR, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, TR, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, TR, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((M, TR, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, TR, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((M, R, LANE), x2d.dtype),
-            jax.ShapeDtypeStruct((M, R, LANE), x2d.dtype),
-        ],
+    in_specs, out_spec, scratch = _common_specs(M, TR, J)
+    return pl.pallas_call(
+        _fwd_stats_kernel,
+        grid=(R // TR,),
+        in_specs=in_specs,
+        out_specs=[out_spec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((M, R, LANE), x2d.dtype)] * 3,
+        scratch_shapes=scratch,
         interpret=_interpret(),
-    )(g, w, rate.reshape(1), x2d, a3d, out, go)
-    drate = db.sum()
+    )(g, w, rate.reshape(1), x2d, a3d)
+
+
+@jax.custom_vjp
+def _lse_core(x2d, a3d, rate, g, w):
+    return _lse_plain(x2d, a3d, rate, g, w)
+
+
+def _lse_fwd(x2d, a3d, rate, g, w):
+    out, spl, spd = _lse_stats(x2d, a3d, rate, g, w)
+    return out, (spl, spd, x2d, a3d, rate, g, w)
+
+
+def _lse_bwd(res, go):
+    spl, spd, x2d, a3d, rate, g, w = res
+    da = go * spl
+    drate = -(go * spd).sum()
     return (
         jnp.zeros_like(x2d),
         da,
@@ -228,6 +214,8 @@ def offset_gamma_log_prob_pallas(value, concentration, rate, offset_samples, off
     TR = _pick_tile_rows(J)
     if TR is None:
         raise NotImplementedError(f"too many offset bins for VMEM staging: {J}")
+    if conc.dtype != jnp.float32:
+        raise NotImplementedError("pallas kernel is float32-only")
 
     dtype = conc.dtype
     M = conc.shape[0]
@@ -237,8 +225,8 @@ def offset_gamma_log_prob_pallas(value, concentration, rate, offset_samples, off
 
     x_flat = jnp.ravel(value).astype(dtype)
     a_flat = conc.reshape(M, n_px)
-    x2d = _pad_rows(x_flat.reshape(1, -1), 1, R_pad * LANE).reshape(R_pad, LANE)
-    a3d = _pad_rows(a_flat[:, None, :], 1, R_pad * LANE).reshape(M, R_pad, LANE)
+    x2d = _pad_rows(x_flat, R_pad * LANE).reshape(R_pad, LANE)
+    a3d = _pad_rows(a_flat, R_pad * LANE).reshape(M, R_pad, LANE)
 
     out = _lse_core(
         x2d,
@@ -248,13 +236,10 @@ def offset_gamma_log_prob_pallas(value, concentration, rate, offset_samples, off
         offset_logits.astype(dtype),
     )
     lse = out.reshape(M, R_pad * LANE)[:, :n_px].reshape((M,) + vshape)
-    result = (
-        concentration * jnp.log(rate) - jax.scipy.special.gammaln(concentration) + lse
-        if not squeeze
-        else (
-            concentration * jnp.log(rate)
-            - jax.scipy.special.gammaln(concentration)
-            + lse[0]
-        )
+    if squeeze:
+        lse = lse[0]
+    return (
+        concentration * jnp.log(rate)
+        - jax.scipy.special.gammaln(concentration)
+        + lse
     )
-    return result
