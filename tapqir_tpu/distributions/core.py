@@ -145,6 +145,34 @@ def affine_beta_mean(mean, sample_size, low, high):
     return mean
 
 
+def affine_beta_sample_stacked(key, means, sizes, lows, highs):
+    """Sample several AffineBeta sites with ONE batched gamma call.
+
+    Each gamma rejection sampler compiles to its own while_loop with fixed
+    per-call overhead; stacking the concentrations of all sites (and both
+    Beta gammas) into a single ``jax.random.gamma`` amortizes it.
+
+    :param means/sizes: lists of per-site parameter arrays (same shape).
+    :param lows/highs: per-site scalars.
+    :return: list of samples, one per site.
+    """
+    n_sites = len(means)
+    c1s, c0s = [], []
+    for mean, size, low, high in zip(means, sizes, lows, highs):
+        c1, c0 = affine_beta_concentrations(mean, size, low, high)
+        c1s.append(jnp.broadcast_to(c1, jnp.shape(size)))
+        c0s.append(jnp.broadcast_to(c0, jnp.shape(size)))
+    conc = jnp.stack(c1s + c0s)  # (2 * n_sites, ...)
+    g = jax.random.gamma(key, conc)
+    out = []
+    for i, (low, high) in enumerate(zip(lows, highs)):
+        u = g[i] / (g[i] + g[i + n_sites])
+        eps = jnp.finfo(u.dtype).eps
+        u = jnp.clip(u, eps, 1.0 - eps)
+        out.append(low + (high - low) * u)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Dirichlet(concentration)  [event along the last axis]
 # ---------------------------------------------------------------------------

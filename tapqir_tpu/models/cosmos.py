@@ -41,6 +41,7 @@ from tapqir_tpu import constraints
 from tapqir_tpu.distributions.core import (
     affine_beta_log_prob,
     affine_beta_sample,
+    affine_beta_sample_stacked,
     dirichlet_log_prob,
     dirichlet_sample,
     exponential_log_prob,
@@ -48,7 +49,10 @@ from tapqir_tpu.distributions.core import (
     gamma_sample,
     halfnormal_log_prob,
 )
-from tapqir_tpu.distributions.ksmogn import offset_gamma_log_prob
+from tapqir_tpu.distributions.ksmogn import (
+    offset_gamma_log_prob,
+    offset_gamma_log_prob_summed,
+)
 from tapqir_tpu.distributions.util import gaussian_spots
 from tapqir_tpu.infer.discrete import (
     log_probs_m,
@@ -182,19 +186,26 @@ class cosmos(Model):
         f = min(self.fbatch_size, F)
         k_n, k_f, k_global, k_local = jax.random.split(key, 4)
         ndx = jax.random.permutation(k_n, Nt)[:n]
-        fdx = jax.random.permutation(k_f, F)[:f]
+        f0 = jax.random.randint(k_f, (), 0, F)
         scale = (Nt / n) * (F / f)
         scale_n = Nt / n
         local, aoi_term, global_term = self._elbo_terms(
-            params_u, k_global, k_local, ndx, fdx, data
+            params_u, k_global, k_local, ndx, f0, f, data
         )
         return global_term / n_shards + aoi_term * scale_n + local * scale
 
-    def _elbo_terms(self, pu, key_global, key_local, ndx, fdx, data):
+    def _elbo_terms(self, pu, key_global, key_local, ndx, f0, f_b, data):
         """Returns (sum of local per-(n,f,c) terms, sum of per-AOI terms,
-        global term) for the given batch indices. ``key_global`` drives the
-        global-parameter samples (shared across shards in the multi-chip
-        path); ``key_local`` drives the per-batch samples."""
+        global term) for the given batch. ``key_global`` drives the
+        global-parameter samples; ``key_local`` drives the per-batch samples.
+
+        Frame batching uses a cyclic contiguous window of ``f_b`` frames
+        starting at random offset ``f0`` (uniform inclusion probability, so
+        the subsampled-plate estimator stays unbiased). A random frame
+        *gather* like the reference's plate subsampling would force XLA to
+        relayout-copy the full image stack inside the scan body every step
+        (1 GB/step at eLife scale, profiled); a dynamic-slice window costs
+        nothing."""
         S, K, Q = self.S, self.K, self.Q
         P = self.data.P
         dtype = self.dtype
@@ -209,21 +220,32 @@ class cosmos(Model):
                 lkeys[0], lkeys[1], lkeys[2], lkeys[3], gkeys[4]]
 
         # ---- batch gathers (gather unconstrained, then transform) -----------
+        # AOI axis: random row gather (rows are large contiguous blocks -
+        # cheap). Frame axis: cyclic contiguous window via dynamic_slice on
+        # the already-gathered (n, F, ...) arrays.
         tf = self._transforms
+        F_l = data["images"].shape[1]
+
+        def fwin(sub, axis):  # cyclic window of f_b frames along `axis`
+            if f_b == F_l:
+                return sub
+            ext = jnp.concatenate(
+                [sub, jax.lax.slice_in_dim(sub, 0, f_b, axis=axis)], axis=axis
+            )
+            return jax.lax.dynamic_slice_in_dim(ext, f0, f_b, axis=axis)
 
         def pc(name):  # global parameter -> constrained
             return tf[name](pu[name])
 
         def g2a(arr):  # raw (Nt, F, ...) -> (n, f, ...)
-            return jnp.take(jnp.take(arr, ndx, 0), fdx, 1)
+            return fwin(jnp.take(arr, ndx, 0), axis=1)
 
         def g2(name):  # (Nt, F, C) -> (n, f, C), constrained
             return tf[name](g2a(pu[name]))
 
         def gk(name):  # (K, Nt, F, Q) -> (n, f, Q, K), constrained
-            return tf[name](
-                jnp.moveaxis(jnp.take(jnp.take(pu[name], ndx, 1), fdx, 2), 0, -1)
-            )
+            sub = fwin(jnp.take(pu[name], ndx, 1), axis=2)
+            return tf[name](jnp.moveaxis(sub, 0, -1))
 
         obs = g2a(data["images"])  # (n, f, C, P, P)
         target_locs = g2a(data["xy"])  # (n, f, C, 2)
@@ -286,10 +308,14 @@ class cosmos(Model):
         qm = gk("m_probs")
 
         h = gamma_sample(keys[5], h_loc * h_beta, h_beta)
-        w = affine_beta_sample(keys[6], w_mean, w_size, wmin, wmax)
-        k_x, k_y = jax.random.split(keys[7])
-        xs = affine_beta_sample(k_x, x_mean, size, -lim, lim)
-        ys = affine_beta_sample(k_y, y_mean, size, -lim, lim)
+        # one batched gamma call for all three AffineBeta sites (w, x, y)
+        w, xs, ys = affine_beta_sample_stacked(
+            keys[6],
+            [w_mean, x_mean, y_mean],
+            [w_size, size, size],
+            [wmin, -lim, -lim],
+            [wmax, lim, lim],
+        )
 
         local = self._local_marginalized(
             pc, obs, target_locs, ont, gain, pi, lamda, prox, b,
@@ -398,10 +424,11 @@ class cosmos(Model):
         # likelihood per m-config (Q == C for cosmos)
         gauss = gaussian_spots(h, w, xs, ys, target_locs, P)  # (n, f, C, K, P, P)
         img = b[..., None, None] + jnp.einsum("mk,nfckij->mnfcij", mtab, gauss)
-        loglik = offset_gamma_log_prob(
+        loglik = offset_gamma_log_prob_summed(
             obs, img / gain, 1.0 / gain,
-            data["offset_samples"], data["offset_logits"], self.use_pallas,
-        ).sum((-2, -1))  # (M, n, f, C)
+            data["offset_samples"], data["offset_logits"],
+            event_ndims=2, use_pallas=self.use_pallas,
+        )  # (M, n, f, C)
 
         return (wq * (inner + term_hw + loglik - log_qm - term_q)).sum(0)  # (n, f, Q)
 

@@ -16,7 +16,7 @@ import numpy as np
 
 from tapqir_tpu import constraints
 from tapqir_tpu.distributions.core import dirichlet_log_prob, dirichlet_sample
-from tapqir_tpu.distributions.ksmogn import offset_gamma_log_prob
+from tapqir_tpu.distributions.ksmogn import offset_gamma_log_prob_summed
 from tapqir_tpu.distributions.util import gaussian_spots
 from tapqir_tpu.infer.discrete import m_configs
 from tapqir_tpu.models.cosmos import cosmos
@@ -129,10 +129,11 @@ class crosstalk(cosmos):
         img = b[..., None, None] + jnp.einsum(
             "gqk,qc,nfqckij->gnfcij", mtab_full, alpha, gauss
         )  # (Mf, n, f, C, P, P)
-        loglik = offset_gamma_log_prob(
+        loglik = offset_gamma_log_prob_summed(
             obs, img / gain, 1.0 / gain,
-            data["offset_samples"], data["offset_logits"], self.use_pallas,
-        ).sum((-3, -2, -1))  # (Mf, n, f): event dims (C, P, P)
+            data["offset_samples"], data["offset_logits"],
+            event_ndims=3, use_pallas=self.use_pallas,
+        )  # (Mf, n, f): event dims (C, P, P)
 
         local = (
             wq * (inner_g + term_hw_g + loglik - log_qm_g - term_q_g)

@@ -31,6 +31,7 @@ from tapqir_tpu import constraints
 from tapqir_tpu.distributions.core import (
     affine_beta_log_prob,
     affine_beta_sample,
+    affine_beta_sample_stacked,
     dirichlet_log_prob,
     dirichlet_sample,
     exponential_log_prob,
@@ -38,7 +39,7 @@ from tapqir_tpu.distributions.core import (
     gamma_sample,
     halfnormal_log_prob,
 )
-from tapqir_tpu.distributions.ksmogn import offset_gamma_log_prob
+from tapqir_tpu.distributions.ksmogn import offset_gamma_log_prob_summed
 from tapqir_tpu.distributions.util import expand_offtarget, gaussian_spots
 from tapqir_tpu.infer.discrete import (
     log_probs_m,
@@ -236,9 +237,13 @@ class hmm(cosmos):
         x_mean, y_mean = gk("x_mean"), gk("y_mean")
         size = gk("size")
         h = gamma_sample(lkeys[1], h_loc * h_beta, h_beta)
-        w = affine_beta_sample(lkeys[2], w_mean, w_size, wmin, wmax)
-        xs = affine_beta_sample(lkeys[3], x_mean, size, -lim, lim)
-        ys = affine_beta_sample(lkeys[4], y_mean, size, -lim, lim)
+        w, xs, ys = affine_beta_sample_stacked(
+            lkeys[2],
+            [w_mean, x_mean, y_mean],
+            [w_size, size, size],
+            [wmin, -lim, -lim],
+            [wmax, lim, lim],
+        )
 
         # q(m | z): (S1, K, Nt, F, C) -> (S1, n, F, C, K)
         qm = tf["m_probs"](
@@ -280,10 +285,11 @@ class hmm(cosmos):
 
         gauss = gaussian_spots(h, w, xs, ys, target_locs, P)  # (n, F, C, K, P, P)
         img = b[..., None, None] + jnp.einsum("mk,nfckij->mnfcij", mtab, gauss)
-        loglik = offset_gamma_log_prob(
+        loglik = offset_gamma_log_prob_summed(
             obs, img / gain, 1.0 / gain,
-            data["offset_samples"], data["offset_logits"], self.use_pallas,
-        ).sum((-2, -1))  # (M, n, F, C)
+            data["offset_samples"], data["offset_logits"],
+            event_ndims=2, use_pallas=self.use_pallas,
+        )  # (M, n, F, C)
 
         log_qm = jnp.einsum("mk,snfqk->msnfq", mtab, jnp.log(qm)) + jnp.einsum(
             "mk,snfqk->msnfq", 1.0 - mtab, jnp.log1p(-qm)
