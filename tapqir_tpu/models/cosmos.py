@@ -421,14 +421,20 @@ class cosmos(Model):
         )
         wq = jnp.exp(log_qm)
 
-        # likelihood per m-config (Q == C for cosmos)
+        # likelihood per m-config (Q == C for cosmos), computed in a flat
+        # (pixel-major) layout end-to-end so XLA does not relayout-copy the
+        # (M, n, f, C, P, P) image tensor around the kernel (profiled)
         gauss = gaussian_spots(h, w, xs, ys, target_locs, P)  # (n, f, C, K, P, P)
-        img = b[..., None, None] + jnp.einsum("mk,nfckij->mnfcij", mtab, gauss)
+        n_, f_, C_ = obs.shape[:3]
+        gauss_flat = gauss.reshape(n_ * f_ * C_, K, P * P)
+        img_flat = b.reshape(-1)[None, :, None] + jnp.einsum(
+            "mk,xkp->mxp", mtab, gauss_flat
+        )  # (M, nfc, P*P)
         loglik = offset_gamma_log_prob_summed(
-            obs, img / gain, 1.0 / gain,
+            obs.reshape(n_ * f_ * C_, P * P), img_flat / gain, 1.0 / gain,
             data["offset_samples"], data["offset_logits"],
-            event_ndims=2, use_pallas=self.use_pallas,
-        )  # (M, n, f, C)
+            event_ndims=1, use_pallas=self.use_pallas,
+        ).reshape(mtab.shape[0], n_, f_, C_)  # (M, n, f, C)
 
         return (wq * (inner + term_hw + loglik - log_qm - term_q)).sum(0)  # (n, f, Q)
 

@@ -126,14 +126,19 @@ class crosstalk(cosmos):
             h[..., None, :], w[..., None, :], xs[..., None, :], ys[..., None, :],
             target_locs[..., None, :, :], P,
         )  # (n, f, Q, C, K, P, P)
-        img = b[..., None, None] + jnp.einsum(
-            "gqk,qc,nfqckij->gnfcij", mtab_full, alpha, gauss
-        )  # (Mf, n, f, C, P, P)
+        n_, f_ = obs.shape[:2]
+        gauss_flat = gauss.reshape(n_ * f_, Q, C, K, P * P)
+        img_flat = b.reshape(n_ * f_, C, 1) + jnp.einsum(
+            "gqk,qc,xqckp->gxcp", mtab_full, alpha, gauss_flat
+        )  # (Mf, nf, C, P*P)
+        Mf = mtab_full.shape[0]
         loglik = offset_gamma_log_prob_summed(
-            obs, img / gain, 1.0 / gain,
+            obs.reshape(n_ * f_, C * P * P),
+            img_flat.reshape(Mf, n_ * f_, C * P * P),
+            1.0 / gain,
             data["offset_samples"], data["offset_logits"],
-            event_ndims=3, use_pallas=self.use_pallas,
-        )  # (Mf, n, f): event dims (C, P, P)
+            event_ndims=1, use_pallas=self.use_pallas,
+        ).reshape(Mf, n_, f_)  # event dims (C, P, P)
 
         local = (
             wq * (inner_g + term_hw_g + loglik - log_qm_g - term_q_g)

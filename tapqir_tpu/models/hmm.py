@@ -284,12 +284,16 @@ class hmm(cosmos):
         term_hw = jnp.einsum("mk,nfqk->mnfq", mtab, lph + lpw)
 
         gauss = gaussian_spots(h, w, xs, ys, target_locs, P)  # (n, F, C, K, P, P)
-        img = b[..., None, None] + jnp.einsum("mk,nfckij->mnfcij", mtab, gauss)
+        n_, F_, C_ = obs.shape[:3]
+        gauss_flat = gauss.reshape(n_ * F_ * C_, K, P * P)
+        img_flat = b.reshape(-1)[None, :, None] + jnp.einsum(
+            "mk,xkp->mxp", mtab, gauss_flat
+        )
         loglik = offset_gamma_log_prob_summed(
-            obs, img / gain, 1.0 / gain,
+            obs.reshape(n_ * F_ * C_, P * P), img_flat / gain, 1.0 / gain,
             data["offset_samples"], data["offset_logits"],
-            event_ndims=2, use_pallas=self.use_pallas,
-        )  # (M, n, F, C)
+            event_ndims=1, use_pallas=self.use_pallas,
+        ).reshape(mtab.shape[0], n_, F_, C_)  # (M, n, F, C)
 
         log_qm = jnp.einsum("mk,snfqk->msnfq", mtab, jnp.log(qm)) + jnp.einsum(
             "mk,snfqk->msnfq", 1.0 - mtab, jnp.log1p(-qm)
