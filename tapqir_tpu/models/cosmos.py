@@ -181,7 +181,7 @@ class cosmos(Model):
         elementwise, so transform-then-gather == gather-then-transform) -
         transforming the full (K, Nt, F, Q) arrays every step would cost
         ~12M transcendentals + HBM round-trips at production scale."""
-        Nt, F = data["images"].shape[0], data["images"].shape[1]
+        Nt, F = data["images"].shape[0], data["images"].shape[-1]
         n = min(self.nbatch_size, Nt)
         f = min(self.fbatch_size, F)
         k_n, k_f, k_global, k_local = jax.random.split(key, 4)
@@ -224,7 +224,7 @@ class cosmos(Model):
         # cheap). Frame axis: cyclic contiguous window via dynamic_slice on
         # the already-gathered (n, F, ...) arrays.
         tf = self._transforms
-        F_l = data["images"].shape[1]
+        F_l = data["images"].shape[-1]
 
         def fwin(sub, axis):  # cyclic window of f_b frames along `axis`
             if f_b == F_l:
@@ -247,7 +247,9 @@ class cosmos(Model):
             sub = fwin(jnp.take(pu[name], ndx, 1), axis=2)
             return tf[name](jnp.moveaxis(sub, 0, -1))
 
-        obs = g2a(data["images"])  # (n, f, C, P, P)
+        # images live frame-minor on device: (Nt, C, P, P, F)
+        img_sub = fwin(jnp.take(data["images"], ndx, 0), axis=4)
+        obs = jnp.transpose(img_sub, (0, 4, 1, 2, 3))  # (n, f, C, P, P)
         target_locs = g2a(data["xy"])  # (n, f, C, 2)
         ont = jnp.take(data["is_ontarget"], ndx)  # (n,)
         mask = jnp.take(data["mask"], ndx)  # (n,)

@@ -156,7 +156,10 @@ class hmm(cosmos):
                 jnp.moveaxis(jnp.take(params_u[name], ndx, 1), 0, -1)
             )
 
-        obs = jnp.take(data["images"], ndx, 0)  # (n, F, C, P, P)
+        # images live frame-minor on device: (Nt, C, P, P, F)
+        obs = jnp.transpose(
+            jnp.take(data["images"], ndx, 0), (0, 4, 1, 2, 3)
+        )  # (n, F, C, P, P)
         target_locs = jnp.take(data["xy"], ndx, 0)
         ont = jnp.take(data["is_ontarget"], ndx)
         mask = jnp.take(data["mask"], ndx)

@@ -128,8 +128,14 @@ class Model:
     def _data_device_arrays(self):
         d = self.data
         dt = self.dtype
+        # the image stack is stored frame-minor on device, (Nt, C, P, P, F):
+        # XLA's layout assignment wants the frame axis minor for the in-loop
+        # AOI gather + frame window; storing it that way up front avoids a
+        # full-array relayout copy (1 GB/step at eLife scale) in the hot loop
         arrays = dict(
-            images=jnp.asarray(d.images, dt),
+            images=jnp.asarray(
+                np.ascontiguousarray(np.transpose(d.images, (0, 2, 3, 4, 1))), dt
+            ),
             xy=jnp.asarray(d.xy, dt),
             is_ontarget=jnp.asarray(d.is_ontarget, jnp.int32),
             mask=jnp.asarray(d.mask, dt),

@@ -43,7 +43,8 @@ def make_mesh(n_aoi: int, n_frame: int = 1, devices=None) -> Mesh:
 def data_partition() -> dict:
     """PartitionSpecs for the device-resident dataset arrays."""
     return {
-        "images": P("aoi", "frame"),
+        # device image layout is frame-minor: (Nt, C, P, P, F)
+        "images": P("aoi", None, None, None, "frame"),
         "xy": P("aoi", "frame"),
         "is_ontarget": P("aoi"),
         "mask": P("aoi"),
