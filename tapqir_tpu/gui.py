@@ -14,8 +14,6 @@ from pathlib import Path
 
 import numpy as np
 
-from tapqir_tpu.exceptions import TapqirFileNotFoundError
-
 logger = logging.getLogger(__name__)
 
 __all__ = ["render_aoi_figure", "view"]

@@ -23,7 +23,6 @@ import logging
 import os
 from collections import OrderedDict, defaultdict
 from pathlib import Path
-from typing import Tuple
 
 import numpy as np
 import pandas as pd

@@ -49,10 +49,7 @@ from tapqir_tpu.distributions.core import (
     gamma_sample,
     halfnormal_log_prob,
 )
-from tapqir_tpu.distributions.ksmogn import (
-    offset_gamma_log_prob,
-    offset_gamma_log_prob_summed,
-)
+from tapqir_tpu.distributions.ksmogn import offset_gamma_log_prob_summed
 from tapqir_tpu.distributions.util import gaussian_spots
 from tapqir_tpu.infer.discrete import (
     log_probs_m,

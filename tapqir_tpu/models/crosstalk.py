@@ -10,7 +10,6 @@ spot-presence configurations (the reference enumerates the same joint space
 through Q*(K+2) enumeration dims, crosstalk.py:486-488).
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -28,7 +28,6 @@ Layout: pixels are flattened and tiled (TR, 128); offsets live in SMEM and
 are looped ``fori_loop``-style with full-tile VPU ops per step.
 """
 
-import functools
 import os
 
 import jax
