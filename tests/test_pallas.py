@@ -111,3 +111,24 @@ def test_singleton_m_squeeze():
     )
     assert got.shape == value.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_summed_path_matches_per_pixel_sum():
+    from tapqir_tpu.distributions.ksmogn import (
+        _offset_gamma_log_prob_xla,
+        offset_gamma_log_prob_summed,
+    )
+
+    value, conc, rate, g, w = _case(M=4, n_px=3 * 5 * 196)
+    value6 = value.reshape(3, 5, 196)
+    conc6 = conc.reshape(4, 3, 5, 196)
+    got = offset_gamma_log_prob_summed(
+        jnp.asarray(value6), jnp.asarray(conc6), jnp.asarray(rate),
+        jnp.asarray(g), jnp.asarray(w), event_ndims=1, use_pallas=True,
+    )
+    want = _offset_gamma_log_prob_xla(
+        jnp.asarray(value6), jnp.asarray(conc6), jnp.asarray(rate),
+        jnp.asarray(g), jnp.asarray(w),
+    ).sum(-1)
+    assert got.shape == (4, 3, 5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=1e-3)
