@@ -310,12 +310,43 @@ class Model:
     def _checkpoint_path(self):
         return self.run_path / f"{self.name}_model.tpqr"
 
+    def _small_params(self):
+        """Names of scalar/small constrained params worth logging per ckpt."""
+        names = []
+        for name in self._transforms:
+            shp = jnp.shape(self.params[name])
+            if len(shp) == 0 or (len(shp) == 1 and shp[0] <= self.Q * 2):
+                names.append(name)
+        return names
+
     def save_checkpoint(self, writer=None):
         """Checkpoint params + optimizer + convergence state
-        (reference: model.py:239-323)."""
+        (reference: model.py:239-323).
+
+        Everything needed on the host - the finite-check verdict, small
+        constrained params for the convergence series, and the full
+        unconstrained state - is fetched in ONE batched device_get: per-array
+        transfers pay a round-trip each over remote-device transports."""
+        small = self._small_params()
+        adam_state = self.opt_state[0]
+        finite = jnp.array(
+            [jnp.isfinite(v).all() for v in self.params.values()]
+        )
+        host = jax.device_get(
+            (
+                finite,
+                {n: self._transforms[n](self.params[n]) for n in small},
+                self.params,
+                adam_state.mu,
+                adam_state.nu,
+                adam_state.count,
+            )
+        )
+        finite_h, small_h, params_h, mu_h, nu_h, count_h = host
+
         # NaN guard (reference: model.py:246-250)
-        for k, v in self.params.items():
-            if not bool(jnp.isfinite(v).all()):
+        for ok, k in zip(finite_h, self.params):
+            if not bool(ok):
                 raise ValueError(
                     f"Iteration #{self.iter}. Detected NaN values in {k}"
                 )
@@ -324,10 +355,9 @@ class Model:
         rolling_max = 100
         for name in self.conv_params:
             if name == "-ELBO":
-                series = self._rolling.setdefault("-ELBO", [])
-                series.append(float(self.iter_loss))
+                self._rolling.setdefault("-ELBO", []).append(float(self.iter_loss))
             else:
-                val = self.param(name)
+                val = np.asarray(small_h[name])
                 if val.ndim == 1:
                     for i in range(len(val)):
                         self._rolling.setdefault(f"{name}_{i}", []).append(
@@ -351,14 +381,13 @@ class Model:
         # serialize
         self.run_path.mkdir(parents=True, exist_ok=True)
         flat = {}
-        for k, v in self.params.items():
+        for k, v in params_h.items():
             flat[f"p::{k}"] = np.asarray(v)
-        adam_state = self.opt_state[0]
-        for k, v in adam_state.mu.items():
+        for k, v in mu_h.items():
             flat[f"mu::{k}"] = np.asarray(v)
-        for k, v in adam_state.nu.items():
+        for k, v in nu_h.items():
             flat[f"nu::{k}"] = np.asarray(v)
-        flat["count"] = np.asarray(adam_state.count)
+        flat["count"] = np.asarray(count_h)
         meta = {
             "iter": self.iter,
             "rolling": self._rolling,
@@ -369,18 +398,23 @@ class Model:
         with open(self._checkpoint_path, "wb") as f:
             np.savez(f, **flat)
 
-        self._log_metrics()
+        self._log_metrics(small_h)
         logger.debug(f"Iteration #{self.iter}: Successful.")
 
-    def _log_metrics(self):
+    def _log_metrics(self, small_h=None):
         """Append scalar metrics to a CSV and (when tensorboard is
         available) TensorBoard (reference: model.py:285-298)."""
         log_dir = self.run_path / "logs" / self.name
         log_dir.mkdir(parents=True, exist_ok=True)
         csv_path = log_dir / "metrics.csv"
         scalars = {"iter": self.iter, "-ELBO": self.iter_loss}
-        for name in self._transforms:
-            val = self.param(name)
+        if small_h is None:
+            small_h = jax.device_get(
+                {n: self._transforms[n](self.params[n])
+                 for n in self._small_params()}
+            )
+        for name, val in small_h.items():
+            val = np.asarray(val)
             if val.ndim == 0:
                 scalars[name] = float(val)
             elif val.ndim == 1 and val.size <= self.Q * 2:
