@@ -168,11 +168,13 @@ class cosmos(Model):
         return spec
 
     # -- ELBO -----------------------------------------------------------------
-    def elbo(self, params_u, key, data, n_shards=1):
+    def elbo(self, params_u, key, data, n_shards=1, frame_shards=1):
         """Minibatch ELBO from UNCONSTRAINED parameters. ``data`` arrays may
         be a local shard (inside shard_map); sizes are taken from the arrays
         themselves. With ``n_shards > 1`` the global term is divided so that
-        the psum over shards counts it once.
+        the psum over shards counts it once; ``frame_shards`` likewise divides
+        the per-AOI prior term, which every frame shard of an AOI row
+        otherwise contributes identically.
 
         Constraint transforms are applied AFTER the batch gather (they are
         elementwise, so transform-then-gather == gather-then-transform) -
@@ -189,7 +191,11 @@ class cosmos(Model):
         local, aoi_term, global_term = self._elbo_terms(
             params_u, k_global, k_local, ndx, f0, f, data
         )
-        return global_term / n_shards + aoi_term * scale_n + local * scale
+        return (
+            global_term / n_shards
+            + aoi_term * scale_n / frame_shards
+            + local * scale
+        )
 
     def _elbo_terms(self, pu, key_global, key_local, ndx, f0, f_b, data):
         """Returns (sum of local per-(n,f,c) terms, sum of per-AOI terms,

@@ -133,7 +133,7 @@ class crosstalk(cosmos):
         Mf = mtab_full.shape[0]
         loglik = offset_gamma_log_prob_summed(
             obs.reshape(n_ * f_, C * P * P),
-            img_flat.reshape(Mf, n_ * f_, C * P * P),
+            img_flat.reshape(Mf, n_ * f_, C * P * P) / gain,
             1.0 / gain,
             data["offset_samples"], data["offset_logits"],
             event_ndims=1, use_pallas=self.use_pallas,

@@ -121,7 +121,7 @@ class hmm(cosmos):
         return jnp.asarray(np.where(feasible > 0, 0.0, NEG_INF), dtype)
 
     # -- ELBO -------------------------------------------------------------------
-    def elbo(self, params_u, key, data, n_shards=1):
+    def elbo(self, params_u, key, data, n_shards=1, frame_shards=1):
         """Marginalized ELBO with the z-chain contracted by parallel scan.
 
         AOI-subsampled only; all frames participate (reference hmm
@@ -330,7 +330,9 @@ class hmm(cosmos):
 
         frames_term = (gamma.transpose(3, 0, 1, 2) * ell).sum(0) + lp_b - lq_b
         local_sum = (frames_term.sum((1, 2)) + chain_term) * mask
-        return global_term + (aoi_term + local_sum.sum()) * scale_n
+        return global_term + (
+            aoi_term / frame_shards + local_sum.sum()
+        ) * scale_n
 
     # -- posteriors (reference: hmm.py:541-667) -----------------------------------
     @property

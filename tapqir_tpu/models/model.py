@@ -94,6 +94,10 @@ class Model:
         self.path = None
         self.run_path = None
         self.dtype = _DTYPES[dtype]
+        if self.dtype == jnp.float64 and not jax.config.jax_enable_x64:
+            # the reference fits in double precision (main.py:428,542); x64
+            # must be switched on or float64 arrays silently become float32
+            jax.config.update("jax_enable_x64", True)
         if device == "cpu":
             self.device = jax.devices("cpu")[0]
         elif device in ("tpu", "cuda", "gpu"):
@@ -194,8 +198,9 @@ class Model:
         spec = self.param_spec()
         self._transforms = {k: t for k, (v, t) in spec.items()}
 
+        ckpt_key = None
         try:
-            self.load_checkpoint()
+            ckpt_key = self.load_checkpoint()
         except TapqirFileNotFoundError:
             self.init_parameters()
             self.iter = 0
@@ -203,7 +208,9 @@ class Model:
             self._rolling = {}
             self.opt_state = self.tx.init(self.params)
 
-        self._key = jax.random.PRNGKey(0)
+        # resume continues the RNG stream from the checkpoint (a fresh
+        # PRNGKey(0) on every resume would replay the same minibatches)
+        self._key = ckpt_key if ckpt_key is not None else jax.random.PRNGKey(0)
         self._jit = jit
         self._tb_writer = None
         self._tb_failed = False
@@ -388,6 +395,7 @@ class Model:
         for k, v in nu_h.items():
             flat[f"nu::{k}"] = np.asarray(v)
         flat["count"] = np.asarray(count_h)
+        flat["rng::key"] = np.asarray(jax.device_get(self._key))
         meta = {
             "iter": self.iter,
             "rolling": self._rolling,
@@ -464,6 +472,9 @@ class Model:
         with np.load(model_path, allow_pickle=False) as z:
             flat = {k: z[k] for k in z.files}
         meta = json.loads(bytes(flat.pop("meta")).decode())
+        ckpt_key = flat.pop("rng::key", None)
+        if ckpt_key is not None:
+            ckpt_key = jnp.asarray(ckpt_key)
         params = {
             k[3:]: jnp.asarray(v, self.dtype)
             for k, v in flat.items()
@@ -493,6 +504,7 @@ class Model:
             )
         if warnings and not meta["convergence_status"]:
             logger.warning(f"Model at {path} has not been fully trained")
+        return ckpt_key
 
     # -- stats -----------------------------------------------------------------
     def compute_stats(self, CI: float = 0.95, save_matlab: bool = False):
@@ -500,5 +512,6 @@ class Model:
         (reference: model.py:359-371)."""
         from tapqir_tpu.utils.stats import save_stats
 
-        save_stats(self, self.path, CI=CI, save_matlab=save_matlab)
+        summary = save_stats(self, self.path, CI=CI, save_matlab=save_matlab)
         logger.debug("Computing stats: Successful.")
+        return summary

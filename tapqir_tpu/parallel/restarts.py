@@ -10,6 +10,8 @@ against bad initializations / local optima (BASELINE.md: "pod-scale ...
 batched random restarts").
 """
 
+import zlib
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -48,8 +50,12 @@ def fit_restarts(
     def stack_param(name, v):
         base = jnp.broadcast_to(v, (num_restarts,) + v.shape)
         if perturb > 0:
+            # crc32 is stable across processes (hash() is salted per run via
+            # PYTHONHASHSEED, which would make restarts irreproducible)
             noise = perturb * jax.random.normal(
-                jax.random.fold_in(k_perturb, hash(name) % (2**31)),
+                jax.random.fold_in(
+                    k_perturb, zlib.crc32(name.encode()) % (2**31)
+                ),
                 base.shape, v.dtype,
             )
             # chain 0 keeps the unperturbed init

@@ -66,20 +66,45 @@ def shard_params_and_data(mesh, params, param_specs, data, data_specs=None):
     return params_sh, data_sh
 
 
-def make_sharded_train_fn(model, mesh, tx):
-    """Build a jitted multi-step train function over the mesh.
+def make_sharded_grads_fn(model, mesh):
+    """Build the shard_map'd ``(params, key, data) -> (loss, grads)`` step.
 
-    Returns ``run_chunk(params, opt_state, key, data, nsteps) ->
-    (params, opt_state, losses)`` where params/data are sharded per
-    ``model.param_partition()`` / :func:`data_partition`.
+    Each shard folds the step key with its shard id, computes its local ELBO
+    terms, and the loss plus every gradient are psum'd over exactly the mesh
+    axes the corresponding parameter is replicated over.
     """
     param_specs = model.param_partition()
     data_specs = data_partition()
     n_shards = mesh.devices.size
+    frame_shards = int(mesh.shape["frame"])
     axes = ("aoi", "frame")
 
+    def _spec_axes(spec):
+        used = set()
+        for entry in spec:
+            if entry is None:
+                continue
+            if isinstance(entry, (tuple, list)):
+                used.update(entry)
+            else:
+                used.add(entry)
+        return used
+
+    # a gradient must be psum'd over exactly the mesh axes its parameter is
+    # NOT sharded over: e.g. background_mean_loc is P("aoi", None, None) -
+    # every frame shard holds the same aoi-slice but computes a different
+    # local likelihood gradient, so the contributions must be summed over
+    # "frame" (dropping them silently loses those shards' data)
+    psum_axes = {
+        k: tuple(ax for ax in axes if ax not in _spec_axes(spec))
+        for k, spec in param_specs.items()
+    }
+
     def local_loss(params_local, key, data_local):
-        return -model.elbo(params_local, key, data_local, n_shards=n_shards)
+        return -model.elbo(
+            params_local, key, data_local,
+            n_shards=n_shards, frame_shards=frame_shards,
+        )
 
     @partial(
         shard_map,
@@ -95,13 +120,23 @@ def make_sharded_train_fn(model, mesh, tx):
         key = jax.random.fold_in(key, shard_id)
         loss, grads = jax.value_and_grad(local_loss)(params_local, key, data_local)
         loss = jax.lax.psum(loss, axes)
-        # replicated (global) parameter grads are summed over shards; sharded
-        # per-AOI/frame parameter grads stay local
         grads = {
-            k: jax.lax.psum(g, axes) if param_specs[k] == P() else g
+            k: jax.lax.psum(g, psum_axes[k]) if psum_axes[k] else g
             for k, g in grads.items()
         }
         return loss, grads
+
+    return loss_and_grads
+
+
+def make_sharded_train_fn(model, mesh, tx):
+    """Build a jitted multi-step train function over the mesh.
+
+    Returns ``run_chunk(params, opt_state, key, data, nsteps) ->
+    (params, opt_state, losses)`` where params/data are sharded per
+    ``model.param_partition()`` / :func:`data_partition`.
+    """
+    loss_and_grads = make_sharded_grads_fn(model, mesh)
 
     def run_chunk(params, opt_state, key, data, nsteps):
         def one_step(carry, k):

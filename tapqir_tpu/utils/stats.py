@@ -138,9 +138,11 @@ def save_stats(model, path, CI=0.95, save_matlab=False):
     import pandas as pd
 
     global_params = model._global_params
+    ll_col = f"{int(100 * CI)}% LL"
+    ul_col = f"{int(100 * CI)}% UL"
     summary = pd.DataFrame(
         index=global_params,
-        columns=["Mean", f"{int(100 * CI)}% LL", f"{int(100 * CI)}% UL"],
+        columns=["Mean", ll_col, ul_col],
     )
 
     logger.info("- credible intervals & spot probabilities")
@@ -150,12 +152,12 @@ def save_stats(model, path, CI=0.95, save_matlab=False):
         mean = ci_stats[param]["Mean"]
         if np.ndim(mean) == 0:
             summary.loc[param, "Mean"] = float(mean)
-            summary.loc[param, "95% LL"] = float(ci_stats[param]["LL"])
-            summary.loc[param, "95% UL"] = float(ci_stats[param]["UL"])
+            summary.loc[param, ll_col] = float(ci_stats[param]["LL"])
+            summary.loc[param, ul_col] = float(ci_stats[param]["UL"])
         else:
             summary.loc[param, "Mean"] = np.asarray(mean).tolist()
-            summary.loc[param, "95% LL"] = np.asarray(ci_stats[param]["LL"]).tolist()
-            summary.loc[param, "95% UL"] = np.asarray(ci_stats[param]["UL"]).tolist()
+            summary.loc[param, ll_col] = np.asarray(ci_stats[param]["LL"]).tolist()
+            summary.loc[param, ul_col] = np.asarray(ci_stats[param]["UL"]).tolist()
 
     # probabilistic rastergram (skipped under CI env, reference: stats.py:110)
     if path is not None and not os.environ.get("CI", None):
@@ -256,12 +258,12 @@ def save_stats(model, path, CI=0.95, save_matlab=False):
         if len(samples):
             z_ll, z_ul = hpdi(samples, CI)
             summary.loc["p(specific)", "Mean"] = float(quantile(samples, 0.5))
-            summary.loc["p(specific)", "95% LL"] = float(z_ll)
-            summary.loc["p(specific)", "95% UL"] = float(z_ul)
+            summary.loc["p(specific)", ll_col] = float(z_ll)
+            summary.loc["p(specific)", ul_col] = float(z_ul)
         else:
             summary.loc["p(specific)", "Mean"] = 0.0
-            summary.loc["p(specific)", "95% LL"] = 0.0
-            summary.loc["p(specific)", "95% UL"] = 0.0
+            summary.loc["p(specific)", ll_col] = 0.0
+            summary.loc["p(specific)", ul_col] = 0.0
 
     model.summary = summary
 

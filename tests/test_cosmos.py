@@ -44,6 +44,8 @@ def test_elbo_decreases(fitted):
 
 
 def test_checkpoint_saved_and_resumes(fitted):
+    import jax
+
     model, tmp_path = fitted
     assert (tmp_path / ".tapqir" / "cosmos_model.tpqr").exists()
     m2 = models["cosmos"]()
@@ -54,6 +56,13 @@ def test_checkpoint_saved_and_resumes(fitted):
         np.testing.assert_allclose(
             np.asarray(m2.params[k]), np.asarray(model.params[k]), rtol=1e-6
         )
+    # resume continues the RNG stream: the restored key equals the trained
+    # model's current key, not a fresh PRNGKey(0) (which would replay the
+    # same minibatch sequence on every resume)
+    assert np.array_equal(np.asarray(m2._key), np.asarray(model._key))
+    assert not np.array_equal(
+        np.asarray(m2._key), np.asarray(jax.random.PRNGKey(0))
+    )
 
 
 def test_posterior_detects_spots(fitted):
@@ -100,6 +109,21 @@ def test_stats_outputs(fitted):
     params = model.params_stats
     assert params["p_specific"].shape == (4, 40, 1)
     assert "chi2" in params
+
+
+def test_stats_nondefault_ci_columns(fitted):
+    """CI != 0.95 must write into its own columns (regression: writes used
+    hardcoded '95% LL' labels)."""
+    import os
+
+    model, _ = fitted
+    os.environ["CI"] = "true"
+    summary = model.compute_stats(CI=0.68)
+    assert "68% LL" in summary.columns and "68% UL" in summary.columns
+    assert "95% LL" not in summary.columns
+    ll = float(summary.loc["gain", "68% LL"])
+    ul = float(summary.loc["gain", "68% UL"])
+    assert np.isfinite(ll) and np.isfinite(ul) and ll < ul
 
 
 def test_elbo_reproducible_and_finite(fitted):

@@ -8,6 +8,7 @@ import pytest
 from tapqir_tpu.models import models
 from tapqir_tpu.parallel.sharding import (
     make_mesh,
+    make_sharded_grads_fn,
     make_sharded_train_fn,
     shard_params_and_data,
 )
@@ -81,6 +82,84 @@ def test_sharded_loss_magnitude_matches_single_device():
     assert lo - 3 * spread < loss_sh < hi + 3 * spread, (
         f"sharded loss {loss_sh} far outside single-device range [{lo}, {hi}]"
     )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_gradients_match_emulated_2x2():
+    """Exact gradient parity: the psum'd sharded gradients must equal the
+    gradient of the summed per-shard losses computed on one device.
+
+    Catches the class of bug where a parameter sharded over 'aoi' but
+    replicated over 'frame' (e.g. background_mean_loc) silently drops the
+    other frame shards' gradient contributions."""
+    data = simulate("cosmos", N=4, F=4, C=1, P=14, seed=0, params=PARAMS)
+    model = models["cosmos"](dtype="double")
+    model.data = data
+    model.nbatch_size = 2  # == local shard Nt: deterministic full batch
+    model.fbatch_size = 2  # == local shard F
+    model.init_parameters()
+    model._data_dev = model._data_device_arrays()
+
+    n_aoi, n_frame = 2, 2
+    mesh = make_mesh(n_aoi, n_frame)
+    param_specs = model.param_partition()
+    from tapqir_tpu.parallel.sharding import data_partition
+
+    data_specs = data_partition()
+    params_sh, data_sh = shard_params_and_data(
+        mesh, model.params, param_specs, model._data_dev
+    )
+    key = jax.random.PRNGKey(7)
+    loss_sh, grads_sh = jax.jit(make_sharded_grads_fn(model, mesh))(
+        params_sh, key, data_sh
+    )
+    grads_sh = {k: np.asarray(v) for k, v in grads_sh.items()}
+
+    # single-device emulation: slice exactly like shard_map, fold the key
+    # exactly like the sharded step, sum the local losses
+    def block(arr, spec, ai, fi):
+        idx = []
+        for d, entry in enumerate(spec):
+            if entry == "aoi":
+                b = arr.shape[d] // n_aoi
+                idx.append(slice(ai * b, (ai + 1) * b))
+            elif entry == "frame":
+                b = arr.shape[d] // n_frame
+                idx.append(slice(fi * b, (fi + 1) * b))
+            else:
+                idx.append(slice(None))
+        return arr[tuple(idx)]
+
+    def emulated_loss(params_full):
+        tot = 0.0
+        for ai in range(n_aoi):
+            for fi in range(n_frame):
+                sid = ai * n_frame + fi
+                kk = jax.random.fold_in(key, sid)
+                pl = {
+                    k: block(v, param_specs[k], ai, fi)
+                    for k, v in params_full.items()
+                }
+                dl = {
+                    k: block(v, data_specs[k], ai, fi)
+                    for k, v in model._data_dev.items()
+                }
+                tot = tot - model.elbo(
+                    pl, kk, dl,
+                    n_shards=n_aoi * n_frame, frame_shards=n_frame,
+                )
+        return tot
+
+    loss_e, grads_e = jax.jit(jax.value_and_grad(emulated_loss))(model.params)
+    np.testing.assert_allclose(
+        float(loss_sh), float(loss_e), rtol=1e-8,
+        err_msg="sharded psum'd loss != summed per-shard losses",
+    )
+    for k in grads_e:
+        np.testing.assert_allclose(
+            grads_sh[k], np.asarray(grads_e[k]), rtol=1e-6, atol=1e-8,
+            err_msg=f"gradient mismatch for {k} (spec {param_specs[k]})",
+        )
 
 
 def test_graft_entry_single_chip():
