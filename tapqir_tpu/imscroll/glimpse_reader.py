@@ -1,11 +1,11 @@
 """Glimpse ingest: extract AOIs from raw microscopy videos.
 
-Port of the reference reader (tapqir/imscroll/glimpse_reader.py:22-501) with
-identical semantics:
+Same file-format semantics as the reference reader
+(tapqir/imscroll/glimpse_reader.py:22-501):
 
-* ``header.mat`` (vid struct), driftlist (cumulative dx/dy around the
-  aoiinfo frame), aoiinfo ``.mat``/``.dat``, optional spot-picker label
-  intervals;
+* ``header.mat`` (vid struct), driftlist (per-frame dx/dy deltas, made
+  cumulative relative to the aoiinfo frame), aoiinfo ``.mat``/``.dat``,
+  optional spot-picker label intervals;
 * raw frames are big-endian int16 read from ``{filenumber}.glimpse`` at the
   per-frame byte offset, unsigned-shifted by 2^15;
 * P x P AOI crops with banker's-rounded drift shifts; sub-pixel target
@@ -13,15 +13,15 @@ identical semantics:
 * empirical offset histogram from a dark FOV corner, min-floor padding,
   99.5 percentile trim, and ``bin_hist`` thinning.
 
-Performance difference: the per-frame/per-AOI Python crop loop of the
-reference (glimpse_reader.py:357-381) is replaced by one vectorized numpy
-gather per frame over all AOIs; the optional C++ frame decoder
-(tapqir_tpu/csrc) accelerates the raw IO when built.
+The implementation is structured differently from the reference: parsing is
+decomposed into per-file helpers, cumulative drift is computed in pure
+numpy, frames are decoded in batches grouped by glimpse file (through the
+optional C++ decoder in ``tapqir_tpu/csrc`` when built), and the per-frame
+AOI crop is one vectorized gather over all AOIs.
 """
 
 import logging
 import os
-from collections import OrderedDict, defaultdict
 from pathlib import Path
 
 import numpy as np
@@ -34,25 +34,109 @@ logger = logging.getLogger(__name__)
 
 __all__ = ["bin_hist", "GlimpseDataset", "read_glimpse"]
 
+AOI_COLUMNS = ["frame", "ave", "y", "x", "pixnum", "aoi"]
+
+# spot-picker interval codes (Friedman-Gelles): absent vs present
+_SPOTPICKER_ABSENT = (-2.0, 0.0, 2.0)
+_SPOTPICKER_PRESENT = (-3.0, 1.0, 3.0)
+
 
 def bin_hist(samples: np.ndarray, weights: np.ndarray, s: int):
-    """Thin an offset histogram by binning every ``s`` consecutive samples
-    (reference: glimpse_reader.py:22-37). The first sample is kept intact."""
+    """Thin an offset histogram: keep the first sample intact, then merge
+    every ``s`` consecutive samples into one bin represented by its middle
+    sample (reference: glimpse_reader.py:22-37)."""
     samples = np.asarray(samples)
     weights = np.asarray(weights)
-    q, r = divmod(len(samples) - 1, s)
-    n = 1 + q + int(bool(r))
-    new_samples = np.zeros(n, dtype=int)
-    new_weights = np.zeros(n)
-    new_samples[0] = samples[0]
-    new_weights[0] = weights[0]
-    new_samples[1 : 1 + q] = samples[1 + s // 2 : 1 + q * s : s]
-    for i in range(s):
-        new_weights[1 : 1 + q] += weights[1 + i : 1 + q * s : s]
-    if r:
-        new_samples[-1] = samples[1 + q * s + r // 2]
-        new_weights[-1] = weights[1 + q * s :].sum()
+    tail_s, tail_w = samples[1:], weights[1:]
+    if len(tail_s) == 0:
+        return samples.astype(int), np.asarray(weights, dtype=float)
+    edges = np.arange(0, len(tail_s), s)
+    sizes = np.diff(np.append(edges, len(tail_s)))
+    representatives = tail_s[edges + sizes // 2]
+    merged_w = np.add.reduceat(np.asarray(tail_w, dtype=float), edges)
+    new_samples = np.concatenate([samples[:1], representatives]).astype(int)
+    new_weights = np.concatenate([np.asarray(weights[:1], float), merged_w])
     return new_samples, new_weights
+
+
+def _load_header(folder):
+    """``header.mat`` holds a MATLAB ``vid`` struct; flatten it to a dict."""
+    record = loadmat(Path(folder) / "header.mat")["vid"][0, 0]
+    return {name: np.squeeze(record[name]) for name in record.dtype.names}
+
+
+def _load_aoi_table(path) -> pd.DataFrame:
+    """Load AOI locations from any of the three formats in the wild:
+    ``aoiinfo2`` matrix in a .mat, an ``aoifits`` struct wrapping it, or a
+    plain-text export. Returns a DataFrame indexed by AOI id with 0-based
+    (x, y) coordinates."""
+    try:
+        mat = loadmat(path)
+    except ValueError:
+        rows = np.loadtxt(path)  # plain-text .dat export
+    else:
+        if "aoiinfo2" in mat:
+            rows = mat["aoiinfo2"]
+        elif "aoifits" in mat:
+            rows = mat["aoifits"]["aoiinfo2"][0, 0]
+        else:
+            raise ValueError(
+                f"{path}: no aoiinfo2/aoifits variable in .mat file"
+            )
+    table = pd.DataFrame(rows, columns=AOI_COLUMNS)
+    table = table.astype({"aoi": int}).set_index("aoi")
+    table[["x", "y"]] -= 1.0  # MATLAB 1-based -> python 0-based pixels
+    return table
+
+
+def _cumulative_drift(deltas: np.ndarray, anchor_pos: int) -> np.ndarray:
+    """Convert per-frame drift deltas to drift relative to the anchor frame.
+
+    Frames after the anchor accumulate forward; frames before it accumulate
+    backward (negated). The anchor row itself keeps its raw delta, matching
+    the reference's slicing arithmetic (glimpse_reader.py:102-111).
+    """
+    cum = np.empty_like(deltas)
+    cum[anchor_pos] = deltas[anchor_pos]
+    cum[anchor_pos + 1 :] = np.cumsum(deltas[anchor_pos + 1 :], axis=0)
+    if anchor_pos > 0:
+        cum[:anchor_pos] = -np.cumsum(deltas[anchor_pos:0:-1], axis=0)[::-1]
+    return cum
+
+
+def _decode_spotpicker_labels(path, aoi_ids, frame_ids):
+    """Decode spot-picker ``Intervals`` into a structured (N, F) label array
+    with aoi / frame / z / spotpicker fields (reference:
+    glimpse_reader.py:118-151)."""
+    intervals = loadmat(path)["Intervals"]["CumulativeIntervalArray"][0, 0]
+    aoi_ids = np.asarray(aoi_ids)
+    frame_ids = np.asarray(frame_ids)
+    row_of = {int(a): i for i, a in enumerate(aoi_ids)}
+    z = np.zeros((len(aoi_ids), len(frame_ids)))
+    for interval in intervals:
+        code, start, stop, aoi = (
+            float(interval[0]),
+            int(interval[1]),
+            int(interval[2]),
+            int(interval[-1]),
+        )
+        row = row_of.get(aoi)
+        if row is None:
+            continue
+        in_range = (frame_ids >= start) & (frame_ids <= stop)
+        if code in _SPOTPICKER_ABSENT:
+            z[row, in_range] = 0
+        elif code in _SPOTPICKER_PRESENT:
+            z[row, in_range] = 1
+    labels = np.zeros(
+        z.shape,
+        dtype=[("aoi", int), ("frame", int), ("z", bool), ("spotpicker", float)],
+    )
+    labels["aoi"] = aoi_ids[:, None]
+    labels["frame"] = frame_ids
+    labels["spotpicker"] = z
+    labels["z"] = z
+    return labels
 
 
 class GlimpseDataset:
@@ -66,92 +150,45 @@ class GlimpseDataset:
     """
 
     def __init__(self, c=0, **kwargs):
-        dtypes = ["ontarget"]
-        if kwargs.get("use-offtarget"):
-            dtypes.append("offtarget")
+        dtypes = ["ontarget"] + (
+            ["offtarget"] if kwargs.get("use-offtarget") else []
+        )
+        header = _load_header(kwargs["glimpse-folder"])
 
-        mat_header = loadmat(Path(kwargs["glimpse-folder"]) / "header.mat")
-        header = {}
-        for i, dt in enumerate(mat_header["vid"].dtype.names):
-            header[dt] = np.squeeze(mat_header["vid"][0, 0][i])
+        aoi_df = {
+            dtype: _load_aoi_table(kwargs[f"{dtype}-aoiinfo"]) for dtype in dtypes
+        }
 
-        drift_mat = loadmat(kwargs["driftlist"])
+        raw_drift = loadmat(kwargs["driftlist"])["driftlist"][:, :3]
+        frame_index = raw_drift[:, 0].astype(int)
+        # drift relative to the frame the AOIs were picked on
+        aoiinfo_frame = int(aoi_df["ontarget"]["frame"].iloc[0])
+        anchor_pos = int(np.nonzero(frame_index == aoiinfo_frame)[0][0])
+        # driftlist columns are (frame, dy, dx)
+        cum_dydx = _cumulative_drift(raw_drift[:, 1:3], anchor_pos)
         drift_df = pd.DataFrame(
-            drift_mat["driftlist"][:, :3], columns=["frame", "dy", "dx"]
-        )
-        drift_df = drift_df.astype({"frame": int}).set_index("frame")
-        drift_df["ttb"] = header["ttb"]
-
-        aoi_df = {}
-        for dtype in dtypes:
-            try:
-                aoi_mat = loadmat(kwargs[f"{dtype}-aoiinfo"])
-            except ValueError:
-                aoi_mat = np.loadtxt(kwargs[f"{dtype}-aoiinfo"])
-            try:
-                aoi_df[dtype] = pd.DataFrame(
-                    aoi_mat["aoiinfo2"],
-                    columns=["frame", "ave", "y", "x", "pixnum", "aoi"],
-                )
-            except KeyError:
-                aoi_df[dtype] = pd.DataFrame(
-                    aoi_mat["aoifits"]["aoiinfo2"][0, 0],
-                    columns=["frame", "ave", "y", "x", "pixnum", "aoi"],
-                )
-            except (IndexError, TypeError):
-                aoi_df[dtype] = pd.DataFrame(
-                    aoi_mat, columns=["frame", "ave", "y", "x", "pixnum", "aoi"]
-                )
-            aoi_df[dtype] = aoi_df[dtype].astype({"aoi": int}).set_index("aoi")
-            # matlab -> python indexing
-            aoi_df[dtype]["x"] = aoi_df[dtype]["x"] - 1
-            aoi_df[dtype]["y"] = aoi_df[dtype]["y"] - 1
-
-        # cumulative drift relative to the aoiinfo frame
-        # (reference: glimpse_reader.py:102-111)
-        aoiinfo_frame = int(aoi_df["ontarget"].at[aoi_df["ontarget"].index[0], "frame"])
-        drift_df.loc[aoiinfo_frame + 1 :, ["dx", "dy"]] = (
-            drift_df.loc[aoiinfo_frame + 1 :, ["dx", "dy"]].cumsum(axis=0).values
-        )
-        drift_df.loc[aoiinfo_frame - 1 :: -1, ["dx", "dy"]] = (
-            (-drift_df.loc[aoiinfo_frame : drift_df.index[1] : -1, ["dx", "dy"]])
-            .cumsum(axis=0)
-            .values
+            {
+                "dy": cum_dydx[:, 0],
+                "dx": cum_dydx[:, 1],
+                "ttb": np.atleast_1d(header["ttb"]),
+            },
+            index=pd.Index(frame_index, name="frame"),
         )
 
         if kwargs.get("frame-range"):
-            f1 = int(kwargs["frame-start"])
-            f2 = int(kwargs["frame-end"])
-            drift_df = drift_df.loc[f1:f2]
+            drift_df = drift_df.loc[
+                int(kwargs["frame-start"]) : int(kwargs["frame-end"])
+            ]
 
-        labels = defaultdict(lambda: None)
-        for dtype in dtypes:
-            if kwargs.get("labels") and kwargs.get(f"{dtype}-labels") is not None:
-                labels_mat = loadmat(kwargs[f"{dtype}-labels"])
-                labels[dtype] = np.zeros(
-                    (len(aoi_df[dtype]), len(drift_df)),
-                    dtype=[
-                        ("aoi", int),
-                        ("frame", int),
-                        ("z", bool),
-                        ("spotpicker", float),
-                    ],
-                )
-                labels[dtype]["aoi"] = aoi_df[dtype].index.values.reshape(-1, 1)
-                labels[dtype]["frame"] = drift_df.index.values
-                spot_picker = labels_mat["Intervals"]["CumulativeIntervalArray"][0, 0]
-                for sp in spot_picker:
-                    aoi, start, end = int(sp[-1]), int(sp[1]), int(sp[2])
-                    sel = (
-                        (labels[dtype]["aoi"] == aoi)
-                        & (labels[dtype]["frame"] >= start)
-                        & (labels[dtype]["frame"] <= end)
+        labels = {dtype: None for dtype in dtypes}
+        if kwargs.get("labels"):
+            for dtype in dtypes:
+                if kwargs.get(f"{dtype}-labels") is not None:
+                    labels[dtype] = _decode_spotpicker_labels(
+                        kwargs[f"{dtype}-labels"],
+                        aoi_df[dtype].index.values,
+                        drift_df.index.values,
                     )
-                    if sp[0] in (-2.0, 0.0, 2.0):
-                        labels[dtype]["spotpicker"][sel] = 0
-                    elif sp[0] in (-3.0, 1.0, 3.0):
-                        labels[dtype]["spotpicker"][sel] = 1
-                labels[dtype]["z"] = labels[dtype]["spotpicker"]
 
         self.height, self.width = int(header["height"]), int(header["width"])
         self.config = kwargs
@@ -168,36 +205,49 @@ class GlimpseDataset:
     def __len__(self):
         return self.F
 
-    def __getitem__(self, key):
-        """Read raw frame(s): big-endian int16 + 2^15 unsign shift
-        (reference: glimpse_reader.py:168-186)."""
-        if isinstance(key, slice):
-            return np.stack(
-                [
-                    self[frame]
-                    for frame in range(
-                        key.start, key.stop, 1 if key.step is None else key.step
-                    )
-                ],
-                0,
-            )
-        frame = key
-        glimpse_number = self.header["filenumber"][frame - 1]
-        glimpse_path = Path(self.config["glimpse-folder"]) / f"{glimpse_number}.glimpse"
-        offset = int(self.header["offset"][frame - 1])
+    def read_frames(self, frames) -> np.ndarray:
+        """Decode a batch of raw frames (1-based frame numbers), grouped by
+        glimpse file so each file is opened once. Returns (B, H, W) int32
+        with the 2^15 unsign shift applied."""
+        frames = np.atleast_1d(np.asarray(frames, dtype=int))
+        file_numbers = np.atleast_1d(self.header["filenumber"])[frames - 1]
+        byte_offsets = np.atleast_1d(self.header["offset"])[frames - 1].astype(
+            np.int64
+        )
+        out = np.empty((len(frames), self.height, self.width), dtype=np.int32)
+        folder = Path(self.config["glimpse-folder"])
+        for number in np.unique(file_numbers):
+            in_file = file_numbers == number
+            glimpse_path = folder / f"{number}.glimpse"
+            decoded = self._decode_file(glimpse_path, byte_offsets[in_file])
+            out[in_file] = decoded
+        return out
+
+    def _decode_file(self, glimpse_path, offsets) -> np.ndarray:
+        """All requested frames of one glimpse file, shifted to unsigned."""
         try:
             from tapqir_tpu.csrc import glimpse_native
 
-            img = glimpse_native.read_frame(
-                str(glimpse_path), offset, self.height, self.width
+            return glimpse_native.read_frames(
+                str(glimpse_path), offsets.tolist(), self.height, self.width
             )
         except Exception:
+            pixels = self.height * self.width
+            out = np.empty((len(offsets), self.height, self.width), np.int32)
             with open(glimpse_path, "rb") as fid:
-                fid.seek(offset)
-                img = np.fromfile(
-                    fid, dtype=">i2", count=self.height * self.width
-                ).reshape(self.height, self.width)
-        return img.astype(np.int32) + 2**15
+                for i, offset in enumerate(offsets):
+                    fid.seek(int(offset))
+                    raw = np.fromfile(fid, dtype=">i2", count=pixels)
+                    out[i] = raw.reshape(self.height, self.width)
+            return out + 2**15
+
+    def __getitem__(self, key):
+        """Read raw frame(s) by 1-based frame number
+        (reference: glimpse_reader.py:168-186)."""
+        if isinstance(key, slice):
+            step = 1 if key.step is None else key.step
+            return self.read_frames(np.arange(key.start, key.stop, step))
+        return self.read_frames(key)[0]
 
     @property
     def N(self):
@@ -292,6 +342,11 @@ def _crop_all_aois(img, raw_xy_f, P):
     return crops, targets
 
 
+# frames decoded per batch in read_glimpse; bounds resident raw-frame memory
+# at FRAME_CHUNK * H * W * 4 bytes (e.g. 64 * 512 * 512 * 4 = 64 MiB)
+FRAME_CHUNK = 64
+
+
 def read_glimpse(path, progress_bar=None, **kwargs):
     """Extract AOIs from glimpse files into ``data.tpqr``
     (reference: glimpse_reader.py:304-501)."""
@@ -305,11 +360,11 @@ def read_glimpse(path, progress_bar=None, **kwargs):
     offset_P = kwargs.pop("offset-P")
     bin_size = kwargs.pop("bin-size")
 
-    offsets = defaultdict(int)
+    offset_counts = {}
     offset_medians = []
-    data = defaultdict(list)
-    target_xy = defaultdict(list)
-    labels = defaultdict(list)
+    data = {}
+    target_xy = {}
+    labels = {}
     time1 = []
     ttb = []
     for c in range(C):
@@ -326,9 +381,9 @@ def read_glimpse(path, progress_bar=None, **kwargs):
                 np.expand_dims(glimpse.aoiinfo[dtype][["x", "y"]].values, axis=1)
                 + glimpse.cumdrift[["dx", "dy"]].values
             )  # (N, F, 2)
-            target_xy[dtype].append(np.zeros((N, F, 2)))
-            data[dtype].append(np.zeros((N, F, P, P), dtype=int))
-            labels[dtype].append(glimpse.labels[dtype])
+            target_xy.setdefault(dtype, []).append(np.zeros((N, F, 2)))
+            data.setdefault(dtype, []).append(np.zeros((N, F, P, P), dtype=int))
+            labels.setdefault(dtype, []).append(glimpse.labels[dtype])
             if not os.environ.get("CI"):
                 glimpse.plot(
                     (dtype,), P, path=path, save=True,
@@ -340,20 +395,31 @@ def read_glimpse(path, progress_bar=None, **kwargs):
                 title=f"offset location for channel {c}",
             )
 
-        for f, frame in enumerate(progress_bar(glimpse.cumdrift.index)):
-            img = glimpse[frame]
-            offset_img = img[
-                glimpse.offset_y : glimpse.offset_y + offset_P,
-                glimpse.offset_x : glimpse.offset_x + offset_P,
-            ]
-            offset_medians.append(np.median(offset_img))
-            values, counts = np.unique(offset_img, return_counts=True)
-            for value, count in zip(values, counts):
-                offsets[int(value)] += int(count)
-            for dtype in glimpse.dtypes:
-                crops, targets = _crop_all_aois(img, raw_target_xy[dtype][:, f], P)
-                data[dtype][c][:, f] = crops
-                target_xy[dtype][c][:, f] = targets
+        frame_numbers = glimpse.cumdrift.index.to_numpy()
+        frame_iter = iter(progress_bar(frame_numbers))
+        for chunk_start in range(0, len(frame_numbers), FRAME_CHUNK):
+            chunk = frame_numbers[chunk_start : chunk_start + FRAME_CHUNK]
+            imgs = glimpse.read_frames(chunk)  # batch decode, one open/file
+            for b in range(len(chunk)):
+                next(frame_iter, None)  # drive the progress bar
+                f = chunk_start + b
+                img = imgs[b]
+                offset_img = img[
+                    glimpse.offset_y : glimpse.offset_y + offset_P,
+                    glimpse.offset_x : glimpse.offset_x + offset_P,
+                ]
+                offset_medians.append(np.median(offset_img))
+                values, counts = np.unique(offset_img, return_counts=True)
+                for value, count in zip(values, counts):
+                    offset_counts[int(value)] = (
+                        offset_counts.get(int(value), 0) + int(count)
+                    )
+                for dtype in glimpse.dtypes:
+                    crops, targets = _crop_all_aois(
+                        img, raw_target_xy[dtype][:, f], P
+                    )
+                    data[dtype][c][:, f] = crops
+                    target_xy[dtype][c][:, f] = targets
 
         for dtype in glimpse.dtypes:
             assert (target_xy[dtype][c] > 0.5 * P - 1).all()
@@ -371,9 +437,10 @@ def read_glimpse(path, progress_bar=None, **kwargs):
             labels[dtype] = np.stack(labels[dtype], -1)
 
     # offset histogram post-processing (reference: glimpse_reader.py:404-424)
-    offsets = OrderedDict(sorted(offsets.items()))
-    offset_samples = np.array(list(offsets.keys()))
-    offset_weights = np.array(list(offsets.values()), dtype=float)
+    offset_samples = np.array(sorted(offset_counts))
+    offset_weights = np.array(
+        [offset_counts[s] for s in offset_samples], dtype=float
+    )
     if min_data <= offset_samples[0]:
         offset_samples = np.insert(offset_samples, 0, min_data - 1)
         offset_weights = np.insert(offset_weights, 0, 1)

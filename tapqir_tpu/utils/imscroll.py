@@ -1,13 +1,21 @@
 """Kinetic post-analysis of posterior z samples.
 
-Port of the reference's interval/kinetics math (tapqir/utils/imscroll.py:13-317)
-with identical coding conventions:
+Implements the interval/kinetics conventions of Friedman & Gelles 2015
+(Methods 86:27-36), matching the reference semantics
+(tapqir/utils/imscroll.py:13-317):
 
-* intervals are coded -3 (bound) / -2 (unbound) when first in a record,
-  3 / 2 when last, 1 / 0 elsewhere (Friedman & Gelles 2015, Methods 86:27-36);
+* each maximal constant run of a binary trajectory is one interval, coded
+  by ``low_or_high``: interior runs keep their state value (0 unbound /
+  1 bound); a run censored at the record start is coded ``-state - 2``
+  (-2 / -3); a run censored at the record end - including a run spanning
+  the whole record - is coded ``state + 2`` (2 / 3);
+* dwell-time collections keep only complete (interior) intervals;
 * time-to-first-binding, association/dissociation rates from binary
-  trajectories;
-* bootstrap confidence intervals.
+  trajectories; bootstrap confidence intervals.
+
+The implementation here is a vectorized run-length encoding over the
+flattened (sample, aoi) records rather than the reference's paired
+start/stop masks.
 
 All functions accept numpy or jax arrays (converted to numpy on entry).
 """
@@ -28,64 +36,65 @@ __all__ = [
 
 
 def count_intervals(labels) -> pd.DataFrame:
-    r"""Count binding interval data (reference: imscroll.py:37-73).
+    r"""Run-length encode binding intervals (reference: imscroll.py:37-73).
 
     :param labels: (samples, aoi, frames) binary array.
     :return: DataFrame with posterior_sample / aoi / start_frame / stop_frame /
-        dwell_time / low_or_high / z columns.
+        dwell_time / low_or_high / z columns, one row per maximal constant run,
+        in (sample, aoi, start_frame) order.
     """
     z = np.asarray(labels)
-    labels = z.astype(bool)
-    start_condition = (
-        np.concatenate((~labels[..., 0:1], labels[..., :-1]), axis=-1) != labels
+    states = z.astype(bool)
+    n_samples, n_aois, F = states.shape
+    records = states.reshape(n_samples * n_aois, F)
+
+    # A run starts at frame 0 of every record and at every state flip.
+    run_starts = np.ones_like(records)
+    run_starts[:, 1:] = records[:, 1:] != records[:, :-1]
+    record, start = np.nonzero(run_starts)
+
+    # Runs come out in row-major order, so each run extends to just before
+    # the next run of the same record, or to the final frame.
+    ends_record = np.empty(record.shape, dtype=bool)
+    ends_record[:-1] = record[1:] != record[:-1]
+    ends_record[-1] = True
+    following_start = np.empty_like(start)
+    following_start[:-1] = start[1:]
+    following_start[-1] = F
+    stop = np.where(ends_record, F - 1, following_start - 1)
+
+    state = records[record, start].astype(np.int64)
+    # Censoring code: right-censored runs (touching the last frame) take
+    # state + 2 - this includes whole-record runs; otherwise left-censored
+    # runs take -state - 2; interior runs keep the raw state.
+    code = np.where(
+        stop == F - 1, state + 2, np.where(start == 0, -state - 2, state)
     )
-    start_sample, start_aoi, start_frame = np.nonzero(start_condition)
-    start_type = labels.astype(np.int64)
-    start_type[..., 0] = -start_type[..., 0] - 2
-    start_type = start_type[start_sample, start_aoi, start_frame]
 
-    stop_condition = np.concatenate(
-        (labels[..., :-1] != labels[..., 1:], np.ones_like(labels[..., 0:1])),
-        axis=-1,
-    )
-    stop_sample, stop_aoi, stop_frame = np.nonzero(stop_condition)
-    stop_type = labels.astype(np.int64)
-    stop_type[..., -1] += 2
-    stop_type = stop_type[stop_sample, stop_aoi, stop_frame]
-
-    assert np.array_equal(start_aoi, stop_aoi)
-
-    low_or_high = np.where(abs(start_type) > abs(stop_type), start_type, stop_type)
-    z_type = z[start_sample, start_aoi, start_frame]
-
+    sample_idx, aoi_idx = np.divmod(record, n_aois)
     return pd.DataFrame(
-        data={
-            "posterior_sample": start_sample,
-            "aoi": start_aoi,
-            "start_frame": start_frame,
-            "stop_frame": stop_frame,
-            "dwell_time": stop_frame + 1 - start_frame,
-            "low_or_high": low_or_high,
-            "z": z_type,
+        {
+            "posterior_sample": sample_idx,
+            "aoi": aoi_idx,
+            "start_frame": start,
+            "stop_frame": stop,
+            "dwell_time": stop + 1 - start,
+            "low_or_high": code,
+            "z": z.reshape(n_samples * n_aois, F)[record, start],
         }
     )
 
 
 def _dwell_times(intervals: pd.DataFrame, state: int) -> np.ndarray:
-    """(samples, max_count) padded dwell times for one state
-    (reference: imscroll.py:113-140)."""
-    assert isinstance(intervals, pd.DataFrame)
-    mask = intervals["low_or_high"] == state
-    result = intervals.loc[mask, ["posterior_sample", "dwell_time"]]
-    value_counts = result["posterior_sample"].value_counts()
-    max_count = int(value_counts.max())
-    n_values = len(value_counts)
-    data = np.zeros((n_values, max_count), dtype=np.float32)
-    for i in range(n_values):
-        sel = result["posterior_sample"] == i
-        dwell_times = result.loc[sel, "dwell_time"]
-        data[i, : len(dwell_times)] = dwell_times.values
-    return data
+    """(samples, max_count) zero-padded dwell times of complete intervals in
+    one state (reference: imscroll.py:113-140)."""
+    complete = intervals.loc[intervals["low_or_high"] == state]
+    groups = complete.groupby("posterior_sample")["dwell_time"]
+    lengths = groups.size()
+    out = np.zeros((len(lengths), int(lengths.max())), dtype=np.float32)
+    for row, (_, times) in enumerate(groups):
+        out[row, : len(times)] = times.to_numpy()
+    return out
 
 
 def bound_dwell_times(intervals) -> np.ndarray:
@@ -97,50 +106,49 @@ def unbound_dwell_times(intervals) -> np.ndarray:
 
 
 def time_to_first_binding(labels) -> np.ndarray:
-    r"""Time elapsed prior to the first binding event
-    (reference: imscroll.py:143-196).
-
-    ttfb = sum_f f z_f prod_{f'<f} (1 - z_{f'}) + F prod_f (1 - z_f)
-    """
-    labels = np.asarray(labels).astype(float)
-    F = labels.shape[-1]
-    frames = np.arange(1, F + 1)
-    q1 = np.ones_like(labels)
-    q1[..., :-1] = labels[..., 1:]
-    cumq0 = np.cumprod(1 - labels, axis=-1)
-    return (frames * q1 * cumq0).sum(-1)
+    r"""Frames elapsed before the first binding event; records with no
+    binding are right-censored at F (reference: imscroll.py:143-196)."""
+    bound = np.asarray(labels).astype(bool)
+    F = bound.shape[-1]
+    first_bound = bound.argmax(axis=-1)
+    return np.where(bound.any(axis=-1), first_bound, F).astype(np.float64)
 
 
 def association_rate(labels) -> np.ndarray:
-    """On-rate from binary data assuming a two-state HMM
+    """On-rate of a two-state HMM: 0->1 transitions per frame spent unbound
     (reference: imscroll.py:199-221)."""
-    labels = np.asarray(labels).astype(float)
-    binding_events = ((1 - labels[..., :-1]) * labels[..., 1:]).sum((-2, -1))
-    off_states = (1 - labels[..., :-1]).sum((-2, -1))
-    return binding_events / off_states
+    bound = np.asarray(labels).astype(bool)
+    now, nxt = bound[..., :-1], bound[..., 1:]
+    events = (~now & nxt).sum((-2, -1))
+    unbound_frames = (~now).sum((-2, -1))
+    return events / unbound_frames
 
 
 def dissociation_rate(labels) -> np.ndarray:
-    """Off-rate from binary data assuming a two-state HMM
+    """Off-rate of a two-state HMM: 1->0 transitions per frame spent bound
     (reference: imscroll.py:224-246)."""
-    labels = np.asarray(labels).astype(float)
-    dissociation_events = (labels[..., :-1] * (1 - labels[..., 1:])).sum((-2, -1))
-    on_states = labels[..., :-1].sum((-2, -1))
-    return dissociation_events / on_states
+    bound = np.asarray(labels).astype(bool)
+    now, nxt = bound[..., :-1], bound[..., 1:]
+    events = (now & ~nxt).sum((-2, -1))
+    bound_frames = now.sum((-2, -1))
+    return events / bound_frames
 
 
 def bootstrap(samples, estimator, repetitions=1000, probs=0.68, rng=None):
     """Bootstrap CI of an estimator (reference: imscroll.py:249-275)."""
     samples = np.asarray(samples)
     rng = np.random.default_rng() if rng is None else rng
-    estimand = np.zeros((repetitions,))
-    for i in range(repetitions):
-        values = rng.choice(samples, size=len(samples), replace=True)
-        estimand[i] = estimator(values)
-    return (
-        np.quantile(estimand, (1 - probs) / 2),
-        np.quantile(estimand, (1 + probs) / 2),
+    n = len(samples)
+    estimates = np.fromiter(
+        (
+            estimator(samples[rng.integers(0, n, size=n)])
+            for _ in range(repetitions)
+        ),
+        dtype=np.float64,
+        count=repetitions,
     )
+    lo, hi = np.quantile(estimates, [(1 - probs) / 2, (1 + probs) / 2])
+    return lo, hi
 
 
 def posterior_estimate(sample_fn, estimator, repetitions=1000, probs=0.68):
@@ -148,10 +156,10 @@ def posterior_estimate(sample_fn, estimator, repetitions=1000, probs=0.68):
 
     :param sample_fn: callable(i) -> one posterior sample array.
     """
-    estimand = np.zeros((repetitions,))
-    for i in range(repetitions):
-        estimand[i] = estimator(sample_fn(i))
-    return (
-        np.quantile(estimand, (1 - probs) / 2),
-        np.quantile(estimand, (1 + probs) / 2),
+    estimates = np.fromiter(
+        (estimator(sample_fn(i)) for i in range(repetitions)),
+        dtype=np.float64,
+        count=repetitions,
     )
+    lo, hi = np.quantile(estimates, [(1 - probs) / 2, (1 + probs) / 2])
+    return lo, hi
