@@ -70,8 +70,17 @@ def app(cd):
     """Bayesian analysis of co-localization single-molecule microscopy image
     data, TPU-native. Initializes a ``.tapqir`` workspace in the working
     directory (reference: tapqir/main.py:1387-1488)."""
+    init_workspace(cd)
+
+
+def init_workspace(cd):
+    """Initialize the ``.tapqir`` workspace + config + logger for ``cd``.
+
+    Shared by the CLI group callback and the GUI (the reference GUI calls
+    ``main(cd=path)`` the same way, tapqir/gui.py:169)."""
     from tapqir_tpu.logger import init_logger
 
+    cd = Path(cd)
     DEFAULTS.clear()
     DEFAULTS["cd"] = cd
     workdir = cd / ".tapqir"
