@@ -49,7 +49,11 @@ from tapqir_tpu.infer.discrete import (
     safe_log,
 )
 from tapqir_tpu.models.cosmos import cosmos
-from tapqir_tpu.ops.scan import cumulative_logmatmulexp
+from tapqir_tpu.ops.scan import (
+    cumulative_logmatmulexp,
+    logmatmulexp,
+    sharded_cumulative_logmatmulexp,
+)
 
 __all__ = ["hmm"]
 
@@ -62,6 +66,10 @@ class hmm(cosmos):
     """
 
     name = "cosmos+hmm"
+    # the z-chain couples frames: the sharded step must pick the same AOI
+    # batch on every frame shard of a mesh row and run the chain terms with
+    # cross-shard boundary exchange (see elbo / parallel/sharding.py)
+    frame_coupled = True
 
     def __init__(self, S=1, K=2, device=None, dtype="float32",
                  use_pallas=None, vectorized=True, priors=None):
@@ -99,13 +107,12 @@ class hmm(cosmos):
     def param_partition(self):
         from jax.sharding import PartitionSpec as P
 
+        # frames shard like cosmos: the chain marginalization runs as a
+        # sequence-parallel prefix scan over the mesh's "frame" axis
+        # (ops/scan.py:32-64), so long-F datasets split across chips
         spec = super().param_partition()
-        # hmm shards over AOIs only: the z-chain couples all frames
-        for name, ps in list(spec.items()):
-            spec[name] = P(*[("aoi" if ax == "aoi" else None) for ax in ps]) \
-                if ps != P() else ps
-        spec["z_trans"] = P("aoi", None, None, None, None)
-        spec["m_probs"] = P(None, None, "aoi", None, None)
+        spec["z_trans"] = P("aoi", "frame", None, None, None)
+        spec["m_probs"] = P(None, None, "aoi", "frame", None)
         for name in ("init_mean", "init_size", "trans_mean", "trans_size"):
             spec[name] = P()
         return spec
@@ -121,11 +128,24 @@ class hmm(cosmos):
         return jnp.asarray(np.where(feasible > 0, 0.0, NEG_INF), dtype)
 
     # -- ELBO -------------------------------------------------------------------
-    def elbo(self, params_u, key, data, n_shards=1, frame_shards=1):
+    def elbo(self, params_u, key, data, n_shards=1, frame_shards=1,
+             frame_axis=None, key_ndx=None, chain_prefix=None):
         """Marginalized ELBO with the z-chain contracted by parallel scan.
 
         AOI-subsampled only; all frames participate (reference hmm
-        subsamples only AOIs, hmm.py:119-125)."""
+        subsamples only AOIs, hmm.py:119-125).
+
+        Frame sharding (``frame_axis`` set, inside shard_map): the local
+        prefix scan is promoted to global prefixes by the sequence-parallel
+        scan, the chain boundary pair (last frame of the previous shard,
+        first local frame) arrives by ``ppermute`` over ICI, and only frame
+        rank 0 scores the chain-init term. ``key_ndx`` must be shared by all
+        frame shards of a mesh row so they subsample the same AOIs.
+
+        ``chain_prefix`` ((n, C, S1, S1) log prefix product of all earlier
+        frame blocks) emulates a non-first frame shard on a single device -
+        used by the exact parity tests.
+        """
         S, K, Q = self.S, self.K, self.Q
         S1 = S + 1
         P = self.data.P
@@ -139,6 +159,8 @@ class hmm(cosmos):
         scale_n = Nt / n
 
         k_n, key_global, key_local = jax.random.split(key, 3)
+        if key_ndx is not None:
+            k_n = key_ndx  # shared across the frame shards of a mesh row
         ndx = jax.random.permutation(k_n, Nt)[:n]
         gkeys = jax.random.split(key_global, 6)
         lkeys = jax.random.split(key_local, 5)
@@ -212,20 +234,46 @@ class hmm(cosmos):
         # ---- z-chain: marginals via parallel scan --------------------------------
         A = g1("z_trans")  # (n, F, C, S1, S1), rows are q(z_f | z_{f-1})
         logA = jnp.log(A)
-        alphas = cumulative_logmatmulexp(logA, axis=1)  # prefix products
-        log_gamma = alphas[..., 0, :]  # (n, F, C, S1): q(z_f)
+        if frame_axis is not None:
+            # sequence-parallel: local Blelloch scan + all_gather of block
+            # totals promotes local prefixes to GLOBAL prefix products
+            alphas = sharded_cumulative_logmatmulexp(logA, 1, frame_axis)
+        else:
+            alphas = cumulative_logmatmulexp(logA, axis=1)  # prefix products
+            if chain_prefix is not None:  # emulate a non-first frame block
+                alphas = logmatmulexp(chain_prefix[:, None], alphas)
+        log_gamma = alphas[..., 0, :]  # (n, F, C, S1): global q(z_f)
         gamma = jnp.exp(log_gamma)
 
         lp_init = log_probs_z(init, ont)  # (n, Q, S1)
         trans_ext = expand_offtarget(trans)  # (Q, S1, S1, 2)
         lp_trans = jnp.moveaxis(safe_log(trans_ext)[..., ont], -1, 0)  # (n,Q,S1,S1)
 
-        q0 = A[:, 0, :, 0, :]  # (n, C, S1)
-        chain_term = (q0 * (lp_init - jnp.log(q0))).sum((-2, -1))  # (n,)
+        q0 = A[:, 0, :, 0, :]  # (n, C, S1): chain start (frame rank 0 only)
+        init_term = (q0 * (lp_init - jnp.log(q0))).sum((-2, -1))  # (n,)
         xi = gamma[:, :-1, :, :, None] * A[:, 1:]  # (n, F-1, C, S1, S1)
-        chain_term = chain_term + (
-            xi * (lp_trans[:, None] - logA[:, 1:])
-        ).sum((1, 2, 3, 4))
+        interior_term = (xi * (lp_trans[:, None] - logA[:, 1:])).sum((1, 2, 3, 4))
+
+        def boundary_term(gamma_prev):
+            # pair (last frame of the previous block, first local frame)
+            bxi = gamma_prev[..., :, None] * A[:, 0]  # (n, C, S1, S1)
+            return (bxi * (lp_trans - logA[:, 0])).sum((1, 2, 3))
+
+        if frame_axis is not None:
+            n_fr = jax.lax.axis_size(frame_axis)
+            rank = jax.lax.axis_index(frame_axis)
+            perm = [(i, (i + 1) % n_fr) for i in range(n_fr)]
+            # previous shard's last marginal, shipped right by one over ICI
+            gamma_prev = jax.lax.ppermute(gamma[:, -1], frame_axis, perm)
+            chain_term = (
+                jnp.where(rank == 0, init_term, boundary_term(gamma_prev))
+                + interior_term
+            )
+        elif chain_prefix is not None:
+            gamma_prev = jnp.exp(chain_prefix[..., 0, :])
+            chain_term = boundary_term(gamma_prev) + interior_term
+        else:
+            chain_term = init_term + interior_term
 
         # ---- continuous samples ---------------------------------------------------
         b_loc, b_beta = g1("b_loc"), g1("b_beta")  # (n, F, C)

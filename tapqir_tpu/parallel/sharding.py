@@ -100,10 +100,19 @@ def make_sharded_grads_fn(model, mesh):
         for k, spec in param_specs.items()
     }
 
-    def local_loss(params_local, key, data_local):
+    # a frame-coupled model (hmm: the z-chain spans all frames) must pick the
+    # same AOI batch on every frame shard of a mesh row and run its chain
+    # terms with cross-shard boundary collectives (models/hmm.py:elbo)
+    frame_coupled = bool(getattr(model, "frame_coupled", False))
+
+    def local_loss(params_local, key, data_local, key_ndx):
+        kwargs = {}
+        if frame_coupled:
+            kwargs["key_ndx"] = key_ndx
+            kwargs["frame_axis"] = "frame" if frame_shards > 1 else None
         return -model.elbo(
             params_local, key, data_local,
-            n_shards=n_shards, frame_shards=frame_shards,
+            n_shards=n_shards, frame_shards=frame_shards, **kwargs,
         )
 
     @partial(
@@ -117,8 +126,11 @@ def make_sharded_grads_fn(model, mesh):
         shard_id = jax.lax.axis_index("aoi") * jax.lax.axis_size(
             "frame"
         ) + jax.lax.axis_index("frame")
+        key_ndx = jax.random.fold_in(key, jax.lax.axis_index("aoi"))
         key = jax.random.fold_in(key, shard_id)
-        loss, grads = jax.value_and_grad(local_loss)(params_local, key, data_local)
+        loss, grads = jax.value_and_grad(local_loss)(
+            params_local, key, data_local, key_ndx
+        )
         loss = jax.lax.psum(loss, axes)
         grads = {
             k: jax.lax.psum(g, psum_axes[k]) if psum_axes[k] else g
