@@ -41,15 +41,29 @@ def positive() -> Transform:
     return Transform(jnp.exp, jnp.log, "positive")
 
 
+# Saturation floor for sigmoid-based transforms. In float32, sigmoid(u)
+# rounds to exactly 1.0 once u > ~16.6, after which log1p(-p) and
+# Beta/Bernoulli log-probs at the boundary are -inf and 0 * -inf = NaN
+# poisons the ELBO (observed after ~25k SVI iters as a converged m_probs
+# entry drifts along the sigmoid asymptote). Clamping keeps every
+# constrained value strictly inside its interval; at the clamp the sigmoid
+# gradient is ~6e-8, i.e. already numerically zero.
+_SIGMOID_EPS = 1e-6
+
+
+def _bounded_sigmoid(u):
+    return jnp.clip(sigmoid(u), _SIGMOID_EPS, 1.0 - _SIGMOID_EPS)
+
+
 def unit_interval() -> Transform:
-    return Transform(sigmoid, _logit, "unit_interval")
+    return Transform(_bounded_sigmoid, _logit, "unit_interval")
 
 
 def interval(low: float, high: float) -> Transform:
     width = high - low
 
     def fwd(u):
-        return low + width * sigmoid(u)
+        return low + width * _bounded_sigmoid(u)
 
     def inv(x):
         return _logit((x - low) / width)

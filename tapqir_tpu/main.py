@@ -127,6 +127,24 @@ def _device_settings(cpu_flag):
     return "cpu" if cpu_flag else None  # None -> jax default backend (TPU)
 
 
+def _make_prompter():
+    """Interactive prompt helper: ask for any option the user did not pass
+    on the command line, defaulting to the current (config-derived) value
+    (reference prompt UX: tapqir/main.py:321-485)."""
+    ctx = click.get_current_context(silent=True)
+
+    def ask(name, value, text, cast=None, is_bool=False):
+        if ctx is not None:
+            src = ctx.get_parameter_source(name)
+            if src is not None and src.name == "COMMANDLINE":
+                return value  # explicitly given: don't re-ask
+        if is_bool:
+            return click.confirm(text, default=bool(value))
+        return click.prompt(text, default=value, type=cast or type(value))
+
+    return ask
+
+
 @app.command()
 @click.option("--dataset", default=lambda: get_default("dataset", "dataset"),
               help="Dataset name")
@@ -314,6 +332,25 @@ def fit(model, S, cpu, nbatch_size, fbatch_size, learning_rate, num_iter,
     logger = logging.getLogger("tapqir")
     cd = DEFAULTS["cd"]
 
+    # interactive prompts with persisted defaults, as in the reference
+    # (tapqir/main.py:321-485); values given on the command line are kept
+    if not no_input:
+        ask = _make_prompter()
+        model = ask("model", model, "Tapqir model",
+                    cast=click.Choice(AVAIL_MODELS))
+        S = ask("S", S, "Number of spot states")
+        cpu = not ask("cpu", not cpu, "Run computations on the accelerator?",
+                      is_bool=True)
+        nbatch_size = ask("nbatch_size", nbatch_size, "AOI batch size")
+        fbatch_size = ask("fbatch_size", fbatch_size, "Frame batch size")
+        learning_rate = ask("learning_rate", learning_rate, "Learning rate")
+        num_iter = ask("num_iter", num_iter,
+                       "Number of iterations (0 = run to convergence)")
+        matlab = ask("matlab", matlab, "Save parameters in matlab format?",
+                     is_bool=True)
+        overwrite = ask("overwrite", overwrite, "Overwrite default values?",
+                        is_bool=True)
+
     if overwrite:
         DEFAULTS["cuda"] = not cpu
         DEFAULTS["nbatch-size"] = nbatch_size
@@ -383,6 +420,15 @@ def stats(model, S, cpu, nbatch_size, fbatch_size, k_max, matlab, dtype, no_inpu
 
     logger = logging.getLogger("tapqir")
     cd = DEFAULTS["cd"]
+
+    if not no_input:  # reference prompts (tapqir/main.py:488-540)
+        ask = _make_prompter()
+        model = ask("model", model, "Tapqir model",
+                    cast=click.Choice(AVAIL_MODELS))
+        cpu = not ask("cpu", not cpu, "Run computations on the accelerator?",
+                      is_bool=True)
+        matlab = ask("matlab", matlab, "Save parameters in matlab format?",
+                     is_bool=True)
 
     logger.info("Computing stats ...")
     m = _make_model(model, S, k_max, cpu, dtype)

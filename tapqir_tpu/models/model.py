@@ -36,6 +36,7 @@ from tapqir_tpu.utils.dataset import load as load_dataset
 logger = logging.getLogger(__name__)
 
 CHECKPOINT_INTERVAL = 200  # reference: model.py:213-214
+MAX_CONSECUTIVE_RESTARTS = 10  # NaN -> reload+reseed attempts before failing
 
 
 def _default_progress(it):
@@ -265,9 +266,13 @@ class Model:
         remaining = num_iter
         pbar = progress_bar(range(num_iter))
         pbar_iter = iter(pbar)
+        consecutive_failures = 0
 
         while remaining > 0:
-            chunk = min(CHECKPOINT_INTERVAL, remaining)
+            chunk = min(
+                getattr(self, "checkpoint_interval", CHECKPOINT_INTERVAL),
+                remaining,
+            )
             try:
                 self._key, sub = jax.random.split(self._key)
                 params, opt_state, losses = self._run_chunk(
@@ -287,11 +292,23 @@ class Model:
                 if hasattr(pbar, "set_postfix"):
                     pbar.set_postfix({"-ELBO": f"{self.iter_loss:.1f}"})
                 self.save_checkpoint()
+                consecutive_failures = 0
                 if use_crit and self.converged:
                     logger.info(f"Iteration #{self.iter} model converged.")
                     break
             except ValueError as err:
                 logger.warning(str(err))
+                consecutive_failures += 1
+                if consecutive_failures >= MAX_CONSECUTIVE_RESTARTS:
+                    # a checkpoint state that NaNs for every reseed will
+                    # never recover: fail loudly instead of looping forever
+                    raise RuntimeError(
+                        f"Iteration #{self.iter}: loss is non-finite after "
+                        f"{consecutive_failures} checkpoint-reload restarts; "
+                        "the checkpointed state appears numerically "
+                        "degenerate. Try a lower learning rate or "
+                        "--dtype double."
+                    ) from err
                 # reload last checkpoint + reseed (reference: model.py:220-232)
                 self.init(
                     lr=self.lr,

@@ -45,13 +45,16 @@ def _interpret():
     return os.environ.get("TAPQIR_PALLAS_INTERPRET", "0") == "1"
 
 
-def _pick_tile_rows(J: int):
-    """Rows per tile so the three (J, TR, 128) f32 scratch buffers fit
-    comfortably in VMEM (~16 MB/core)."""
+def _pick_tile_rows(J: int, M: int = 1):
+    """Rows per tile so the VMEM working set fits the ~16 MB scoped limit:
+    three (J, TR, 128) f32 scratch buffers plus the double-buffered
+    M-leading in/out blocks (1 a-in + up to 3 stats-outs, x2 pipelining ~
+    8 M rows). Crosstalk's M = 2^(K*Q) = 16 overflows at the tile size that
+    suits cosmos' M = 4, so the budget must scale with M."""
     for tr in (32, 16, 8):
-        if 3 * J * tr * LANE * 4 <= 6 * 1024 * 1024:
+        if (3 * J + 8 * M) * tr * LANE * 4 <= 4 * 1024 * 1024:
             return tr
-    return None  # J too large for this kernel; caller falls back to XLA
+    return None  # J (or M) too large for this kernel; caller falls back to XLA
 
 
 def _stage(g_ref, w_ref, b, x, lbuf, cbuf, dbuf):
@@ -124,7 +127,7 @@ def _common_specs(M, TR, J):
 def _lse_plain(x2d, a3d, rate, g, w):
     M, R, _ = a3d.shape
     J = g.shape[0]
-    TR = _pick_tile_rows(J)
+    TR = _pick_tile_rows(J, M)
     in_specs, out_spec, scratch = _common_specs(M, TR, J)
     return pl.pallas_call(
         _fwd_kernel,
@@ -140,7 +143,7 @@ def _lse_plain(x2d, a3d, rate, g, w):
 def _lse_stats(x2d, a3d, rate, g, w):
     M, R, _ = a3d.shape
     J = g.shape[0]
-    TR = _pick_tile_rows(J)
+    TR = _pick_tile_rows(J, M)
     in_specs, out_spec, scratch = _common_specs(M, TR, J)
     return pl.pallas_call(
         _fwd_stats_kernel,
@@ -210,7 +213,7 @@ def offset_gamma_log_prob_pallas(value, concentration, rate, offset_samples, off
         squeeze = False
 
     J = offset_samples.shape[0]
-    TR = _pick_tile_rows(J)
+    TR = _pick_tile_rows(J, conc.shape[0])
     if TR is None:
         raise NotImplementedError(f"too many offset bins for VMEM staging: {J}")
     if conc.dtype != jnp.float32:

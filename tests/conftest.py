@@ -24,6 +24,13 @@ import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# persistent compilation cache: XLA compiles dominate this suite's runtime
+# (30-60 s/model on CPU); warm re-runs skip them entirely
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("TAPQIR_TEST_CACHE", "/tmp/tapqir-jax-cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def pytest_addoption(parser):

@@ -31,7 +31,13 @@ def _sim_params(model):
     return params
 
 
-@pytest.fixture(params=["cosmos", "crosstalk", "cosmos+hmm"])
+@pytest.fixture(
+    params=[
+        "cosmos",  # flagship model: always in the fast suite
+        pytest.param("crosstalk", marks=pytest.mark.slow),
+        pytest.param("cosmos+hmm", marks=pytest.mark.slow),
+    ]
+)
 def dataset_path(request, tmp_path):
     model = request.param
     data = simulate(model, N=2, F=5, C=1, P=14, seed=0, params=_sim_params(model))
@@ -66,6 +72,7 @@ def test_fit_and_stats_commands(dataset_path):
     assert (tmp_path / ".tapqir" / "loginfo").exists()
 
 
+@pytest.mark.slow
 def test_kinetics_commands(tmp_path):
     # cosmos end-to-end incl. ttfb + dwelltime on a slightly larger dataset
     data = simulate(
@@ -121,6 +128,7 @@ def test_version():
     assert "0.1.0" in result.output
 
 
+@pytest.mark.slow
 def test_fit_num_restarts(tmp_path):
     data = simulate("cosmos", N=2, F=5, C=1, P=14, seed=0,
                     params=_sim_params("cosmos"))
@@ -135,6 +143,7 @@ def test_fit_num_restarts(tmp_path):
     assert (tmp_path / "cosmos_summary.csv").exists()
 
 
+@pytest.mark.slow
 def test_fit_profile(tmp_path):
     data = simulate("cosmos", N=2, F=5, C=1, P=14, seed=0,
                     params=_sim_params("cosmos"))
@@ -148,3 +157,23 @@ def test_fit_profile(tmp_path):
     assert result.exit_code == 0, result.output + repr(result.exception)
     prof = tmp_path / ".tapqir" / "profile"
     assert prof.exists() and any(prof.rglob("*"))
+
+
+def test_fit_interactive_prompts(tmp_path):
+    """Prompts fire for options not given on the command line and accept
+    defaults (reference prompt UX, tapqir/main.py:321-485)."""
+    data = simulate("cosmos", N=2, F=5, C=1, P=14, seed=0,
+                    params=_sim_params("cosmos"))
+    save(data, tmp_path)
+    # answers: model(default) S(default) accelerator->n nbatch(default)
+    # fbatch(default) lr(default) num_iter->1 matlab->n overwrite(default)
+    result = runner.invoke(
+        app,
+        ["--cd", str(tmp_path), "fit", "--nbatch-size", "2",
+         "--fbatch-size", "5"],
+        input="\n\nn\n\n1\nn\n\n",
+    )
+    assert result.exit_code == 0, result.output
+    assert "Tapqir model" in result.output
+    assert "Number of iterations" in result.output
+    assert (tmp_path / ".tapqir" / "cosmos_model.tpqr").exists()

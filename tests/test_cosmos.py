@@ -31,7 +31,8 @@ def fitted(tmp_path_factory):
     model = models["cosmos"]()
     model.load(tmp_path)
     model.init(lr=0.005, nbatch_size=4, fbatch_size=40)
-    model.run(400, progress_bar=lambda it: it)
+    model.checkpoint_interval = 50  # denser rolling points, shorter fit
+    model.run(200, progress_bar=lambda it: it)
     return model, tmp_path
 
 
@@ -126,6 +127,7 @@ def test_stats_nondefault_ci_columns(fitted):
     assert np.isfinite(ll) and np.isfinite(ul) and ll < ul
 
 
+@pytest.mark.slow
 def test_elbo_reproducible_and_finite(fitted):
     """Numerical regression: same key -> same ELBO; finite gradients."""
     import jax

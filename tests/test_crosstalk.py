@@ -28,6 +28,7 @@ def fitted(tmp_path_factory):
     model = models["crosstalk"]()
     model.load(tmp_path)
     model.init(lr=0.005, nbatch_size=4, fbatch_size=20)
+    model.checkpoint_interval = 50  # denser rolling points
     model.run(200, progress_bar=lambda it: it)
     return model, tmp_path
 
@@ -62,6 +63,7 @@ def test_posterior_and_stats(fitted):
     np.testing.assert_allclose(alpha.sum(-1), 1.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_elbo_finite_grads(fitted):
     import jax
     import jax.numpy as jnp

@@ -246,3 +246,24 @@ def test_ksmogn_crosstalk_shapes():
         P, m, alpha, use_pallas=False,
     )
     assert lp.shape == (N, F)
+
+
+def test_sigmoid_transforms_never_saturate():
+    """float32 sigmoid rounds to exactly 1.0 for u > ~16.6, which turns
+    log1p(-p) into -inf and poisons the ELBO with 0 * -inf = NaN after long
+    fits (m_probs drifting along the asymptote). The transforms must keep
+    values strictly inside their intervals."""
+    import jax.numpy as jnp
+
+    from tapqir_tpu import constraints
+
+    u = jnp.asarray(np.array([-100.0, -30.0, 0.0, 30.0, 100.0], np.float32))
+    p = constraints.unit_interval()(u)
+    assert np.isfinite(np.log(np.asarray(p))).all()
+    assert np.isfinite(np.log1p(-np.asarray(p))).all()
+    lo, hi = -7.5, 7.5
+    x = np.asarray(constraints.interval(lo, hi)(u))
+    assert (x > lo).all() and (x < hi).all()
+    # round trip still works away from saturation
+    t = constraints.unit_interval()
+    np.testing.assert_allclose(np.asarray(t(t.inverse(0.3))), 0.3, rtol=1e-5)

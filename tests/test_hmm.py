@@ -28,7 +28,8 @@ def fitted(tmp_path_factory):
     model = models["cosmos+hmm"]()
     model.load(tmp_path)
     model.init(lr=0.005, nbatch_size=4, fbatch_size=30)
-    model.run(400, progress_bar=lambda it: it)
+    model.checkpoint_interval = 50  # denser rolling points, shorter fit
+    model.run(200, progress_bar=lambda it: it)
     return model, tmp_path
 
 
@@ -81,6 +82,7 @@ def test_z_sample_shapes(fitted):
     assert set(np.unique(zs)) <= {0, 1}
 
 
+@pytest.mark.slow
 def test_elbo_finite_grads(fitted):
     import jax
     import jax.numpy as jnp

@@ -44,6 +44,7 @@ def test_oom_maps_to_typed_exception(tiny):
     assert "batch" in str(ei.value).lower()
 
 
+@pytest.mark.slow
 def test_nan_loss_reloads_and_reseeds(tiny, caplog):
     """A NaN loss chunk reloads the previous checkpoint and reseeds the RNG
     (reference: model.py:220-232)."""
@@ -74,6 +75,7 @@ def test_nan_loss_reloads_and_reseeds(tiny, caplog):
     assert np.isfinite(model.iter_loss)
 
 
+@pytest.mark.slow
 def test_dtype_double_enables_x64_fresh_process():
     """`dtype=double` must flip jax_enable_x64 itself (the CLI path); in a
     fresh process without the test conftest, params must come out float64."""

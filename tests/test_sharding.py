@@ -85,6 +85,7 @@ def test_sharded_loss_magnitude_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_sharded_gradients_match_emulated_2x2():
     """Exact gradient parity: the psum'd sharded gradients must equal the
     gradient of the summed per-shard losses computed on one device.
@@ -174,6 +175,7 @@ def test_graft_entry_single_chip():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_graft_entry_multichip():
     import sys
 
@@ -183,6 +185,7 @@ def test_graft_entry_multichip():
     __graft_entry__.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_fit_restarts_selects_best():
     from tapqir_tpu.parallel.restarts import fit_restarts
 
@@ -244,6 +247,7 @@ def test_sharded_prefix_scan_matches_global():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_sharded_train_step_hmm_aoi_mesh():
     """hmm trains over an AOI-sharded mesh (its chain couples frames)."""
     from tapqir_tpu.utils.simulate import simulate as sim
@@ -274,6 +278,7 @@ def test_sharded_train_step_hmm_aoi_mesh():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+@pytest.mark.slow
 def test_sharded_hmm_frame_mesh_matches_emulated_2x2():
     """Exact parity for the frame-sharded hmm step: the psum'd loss and
     gradients on an ("aoi", "frame") mesh must equal the summed per-shard
