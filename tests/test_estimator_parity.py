@@ -365,3 +365,526 @@ def test_cosmos_elbo_naive_detects_likelihood_miscalibration(cosmos_f64):
     bad_pu["gain_loc"] = model.params["gain_loc"] + jnp.log(1.01)
     naive_bad = naive_cosmos_elbo(model, bad_pu, key)
     assert abs(naive_bad - naive_good) / abs(naive_good) > 1e-5
+
+
+def naive_crosstalk_elbo(model, pu, key):
+    """Loop-based reimplementation of crosstalk.elbo: per-dye discrete
+    tables, expectation over all 2^(K*Q) global m-configs, alpha-mixed
+    likelihood (reference: tapqir/models/crosstalk.py:76-284)."""
+    data = model.data
+    Nt, F, C, P = data.Nt, data.F, data.C, data.P
+    K, S, Q = model.K, model.S, model.Q
+    priors = model.priors
+    lim = (P + 1) / 2
+    wmin, wmax = priors["width_min"], priors["width_max"]
+    prox_high = (P + 1) / math.sqrt(12)
+    n = model.nbatch_size
+    f_b = model.fbatch_size
+
+    k_n, k_f, k_global, k_local = jax.random.split(key, 4)
+    ndx = np.asarray(jax.random.permutation(k_n, Nt)[:n])
+    f0 = int(jax.random.randint(k_f, (), 0, F))
+    frames = (
+        list(range(F)) if f_b == F else [(f0 + j) % F for j in range(f_b)]
+    )
+    gkeys = jax.random.split(k_global, 5)
+    lkeys = jax.random.split(k_local, 4)
+
+    tfm = model._transforms
+    pc = {k: np.asarray(tfm[k](v), np.float64) for k, v in pu.items()}
+
+    def g2(name):
+        return pc[name][ndx][:, frames]
+
+    def gk(name):
+        return np.moveaxis(pc[name][:, ndx][:, :, frames], 0, -1)
+
+    obs = np.asarray(data.images, np.float64)[ndx][:, frames]
+    target = np.asarray(data.xy, np.float64)[ndx][:, frames]
+    ont = np.asarray(data.is_ontarget)[ndx]
+    mask = np.asarray(data.mask)[ndx].astype(np.float64)
+    off_s = np.asarray(data.offset.samples, np.float64)
+    off_logw = np.log(np.asarray(data.offset.weights, np.float64))
+
+    gain = float(gamma_sample(gkeys[0], pc["gain_loc"] * pc["gain_beta"],
+                              pc["gain_beta"]))
+    pi = np.asarray(dirichlet_sample(gkeys[1], pc["pi_mean"] * pc["pi_size"]))
+    lamda = np.asarray(gamma_sample(gkeys[2], pc["lamda_loc"] * pc["lamda_beta"],
+                                    pc["lamda_beta"]))
+    prox = float(affine_beta_sample(gkeys[3], pc["proximity_loc"],
+                                    pc["proximity_size"], 0.0, prox_high))
+    alpha = np.asarray(dirichlet_sample(
+        gkeys[4], pc["alpha_mean"] * pc["alpha_size"]
+    ))  # (Q, C)
+    b_loc, b_beta = g2("b_loc"), g2("b_beta")
+    b = np.asarray(gamma_sample(lkeys[0], b_loc * b_beta, b_beta))
+    h_loc, h_beta = gk("h_loc"), gk("h_beta")
+    w_mean, w_size = gk("w_mean"), gk("w_size")
+    x_mean, y_mean = gk("x_mean"), gk("y_mean")
+    size = gk("size")
+    qm = gk("m_probs")
+    h = np.asarray(gamma_sample(lkeys[1], h_loc * h_beta, h_beta))
+    w, xs, ys = (
+        np.asarray(a)
+        for a in affine_beta_sample_stacked(
+            lkeys[2],
+            [w_mean, x_mean, y_mean],
+            [w_size, size, size],
+            [wmin, -lim, -lim],
+            [wmax, lim, lim],
+        )
+    )
+
+    # global term = cosmos global + alpha prior/guide
+    global_term = (
+        _halfnormal_logpdf(gain, priors["gain_std"])
+        - _gamma_logpdf(gain, float(pc["gain_loc"] * pc["gain_beta"]),
+                        float(pc["gain_beta"]))
+    )
+    for q in range(Q):
+        global_term += st.dirichlet.logpdf(
+            pi[q] / pi[q].sum(), np.full(S + 1, 1.0 / (S + 1))
+        ) - st.dirichlet.logpdf(
+            pi[q] / pi[q].sum(), (pc["pi_mean"] * pc["pi_size"])[q]
+        )
+        global_term += st.expon.logpdf(lamda[q], scale=1 / priors["lamda_rate"])
+        global_term -= _gamma_logpdf(
+            lamda[q], float((pc["lamda_loc"] * pc["lamda_beta"])[q]),
+            float(pc["lamda_beta"][q]),
+        )
+        prior_alpha = np.ones(C) + 9.0 * (np.arange(C) == q)
+        global_term += st.dirichlet.logpdf(alpha[q] / alpha[q].sum(), prior_alpha)
+        global_term -= st.dirichlet.logpdf(
+            alpha[q] / alpha[q].sum(), (pc["alpha_mean"] * pc["alpha_size"])[q]
+        )
+    global_term += st.expon.logpdf(prox, scale=1 / priors["proximity_rate"])
+    global_term -= _affine_beta_logpdf(
+        prox, float(pc["proximity_loc"]), float(pc["proximity_size"]),
+        0.0, prox_high,
+    )
+
+    bm = pc["background_mean_loc"][ndx][:, 0, :]
+    bs = pc["background_std_loc"][ndx][:, 0, :]
+    aoi_term = sum(
+        mask[i] * (
+            _halfnormal_logpdf(bm[i, c], priors["background_mean_std"])
+            + _halfnormal_logpdf(bs[i, c], priors["background_std_std"])
+        )
+        for i in range(n) for c in range(C)
+    )
+
+    size_sp = ((P + 1) / (2 * prox)) ** 2 - 1.0
+
+    def dye_tables(i, j, q, mt):
+        """(inner, term_hw, log_qm, term_q) for dye q at config mt."""
+        log_qm = sum(
+            math.log(qm[i, j, q, k]) if mt[k] else math.log1p(-qm[i, j, q, k])
+            for k in range(K)
+        )
+        cfg = []
+        for z in range(S + 1):
+            p_z = pi[q, z] if ont[i] else (1.0 if z == 0 else 0.0)
+            if p_z == 0.0:
+                continue
+            for t in range(1 + K):
+                p_t = (
+                    (1.0 if t == 0 else 0.0) if z == 0
+                    else (0.0 if t == 0 else 1.0 / K)
+                )
+                if p_t == 0.0:
+                    continue
+                lp = math.log(p_z) + math.log(p_t)
+                ok = True
+                for k in range(K):
+                    p1 = _p_m_given_theta(lamda[q], t, k, K)
+                    if mt[k]:
+                        if p1 == 0.0:
+                            ok = False
+                            break
+                        lp += math.log(p1)
+                        sz = size_sp if t == k + 1 else 2.0
+                        lp += _affine_beta_logpdf(
+                            xs[i, j, q, k], 0.0, sz, -lim, lim
+                        ) + _affine_beta_logpdf(
+                            ys[i, j, q, k], 0.0, sz, -lim, lim
+                        )
+                    else:
+                        if p1 == 1.0:
+                            ok = False
+                            break
+                        lp += math.log1p(-p1)
+                if ok:
+                    cfg.append(lp)
+        inner = logsumexp(cfg)
+        term_hw = sum(
+            mt[k] * (
+                _halfnormal_logpdf(h[i, j, q, k], priors["height_std"])
+                + _affine_beta_logpdf(w[i, j, q, k], 1.5, 2.0, wmin, wmax)
+            )
+            for k in range(K)
+        )
+        term_q = sum(
+            mt[k] * (
+                _gamma_logpdf(h[i, j, q, k],
+                              h_loc[i, j, q, k] * h_beta[i, j, q, k],
+                              h_beta[i, j, q, k])
+                + _affine_beta_logpdf(w[i, j, q, k], w_mean[i, j, q, k],
+                                      w_size[i, j, q, k], wmin, wmax)
+                + _affine_beta_logpdf(xs[i, j, q, k], x_mean[i, j, q, k],
+                                      size[i, j, q, k], -lim, lim)
+                + _affine_beta_logpdf(ys[i, j, q, k], y_mean[i, j, q, k],
+                                      size[i, j, q, k], -lim, lim)
+            )
+            for k in range(K)
+        )
+        return inner, term_hw, log_qm, term_q
+
+    local_sum = 0.0
+    for i in range(n):
+        for j in range(len(frames)):
+            expect = 0.0
+            # all global m-configurations: one (m_1..m_K) tuple per dye
+            for g in itertools.product(
+                itertools.product((0, 1), repeat=K), repeat=Q
+            ):
+                inner_g = term_hw_g = log_qm_g = term_q_g = 0.0
+                for q in range(Q):
+                    inn, thw, lqm, tq = dye_tables(i, j, q, g[q])
+                    inner_g += inn
+                    term_hw_g += thw
+                    log_qm_g += lqm
+                    term_q_g += tq
+                # alpha-mixed expected images, one per channel
+                loglik = 0.0
+                for c in range(C):
+                    mu = np.full((P, P), b[i, j, c])
+                    for q in range(Q):
+                        for k in range(K):
+                            if g[q][k]:
+                                mu += alpha[q, c] * _gauss_spot(
+                                    h[i, j, q, k], w[i, j, q, k],
+                                    xs[i, j, q, k] + target[i, j, c, 0],
+                                    ys[i, j, q, k] + target[i, j, c, 1],
+                                    P,
+                                )
+                    for px in range(P):
+                        for py in range(P):
+                            terms = off_logw + _gamma_logpdf(
+                                obs[i, j, c, px, py] - off_s,
+                                mu[px, py] / gain, 1.0 / gain,
+                            )
+                            loglik += logsumexp(terms)
+                expect += math.exp(log_qm_g) * (
+                    inner_g + term_hw_g + loglik - log_qm_g - term_q_g
+                )
+            local_sum += mask[i] * expect
+            for c in range(C):
+                local_sum += mask[i] * (
+                    _gamma_logpdf(b[i, j, c], (bm[i, c] / bs[i, c]) ** 2,
+                                  bm[i, c] / bs[i, c] ** 2)
+                    - _gamma_logpdf(b[i, j, c],
+                                    b_loc[i, j, c] * b_beta[i, j, c],
+                                    b_beta[i, j, c])
+                )
+
+    scale = (Nt / n) * (F / len(frames))
+    return global_term + aoi_term * (Nt / n) + local_sum * scale
+
+
+@pytest.mark.slow
+def test_crosstalk_elbo_matches_naive_loops():
+    params = dict(PARAMS)
+    params["alpha"] = [[0.85, 0.15], [0.1, 0.9]]
+    data = simulate("crosstalk", N=3, F=4, C=2, P=14, seed=3, params=params)
+    model = models["crosstalk"](dtype="double")
+    model.data = data
+    model.nbatch_size = 2
+    model.fbatch_size = 3
+    model.init_parameters()
+    model._data_dev = model._data_device_arrays()
+    for seed in (0, 1):
+        key = jax.random.PRNGKey(seed)
+        got = float(model.elbo(model.params, key, model._data_dev))
+        want = naive_crosstalk_elbo(model, model.params, key)
+        np.testing.assert_allclose(got, want, rtol=1e-6, err_msg=f"key {seed}")
+
+
+# the production chain terms multiply safe_log(0) = log(1e-30) by chain
+# weights (infer/discrete.py:safe_log); the oracle must use the same floor
+# for exact parity on off-target AOIs
+SAFE_LOG_FLOOR = math.log(1e-30)
+
+
+def _slog(p):
+    return math.log(p) if p > 1e-30 else SAFE_LOG_FLOOR
+
+
+def naive_hmm_elbo(model, pu, key):
+    """Loop-based reimplementation of hmm.elbo: sequential chain marginals,
+    explicit pairwise chain terms, feasibility-renormalized q(m | z)
+    (reference semantics: tapqir/models/hmm.py:81-478)."""
+    data = model.data
+    Nt, F, C, P = data.Nt, data.F, data.C, data.P
+    K, S, Q = model.K, model.S, model.Q
+    S1 = S + 1
+    priors = model.priors
+    lim = (P + 1) / 2
+    wmin, wmax = priors["width_min"], priors["width_max"]
+    prox_high = (P + 1) / math.sqrt(12)
+    n = model.nbatch_size
+
+    k_n, k_global, k_local = jax.random.split(key, 3)
+    ndx = np.asarray(jax.random.permutation(k_n, Nt)[:n])
+    gkeys = jax.random.split(k_global, 6)
+    lkeys = jax.random.split(k_local, 5)
+
+    tfm = model._transforms
+    pc = {k: np.asarray(tfm[k](v), np.float64) for k, v in pu.items()}
+
+    obs = np.asarray(data.images, np.float64)[ndx]  # (n, F, C, P, P)
+    target = np.asarray(data.xy, np.float64)[ndx]
+    ont = np.asarray(data.is_ontarget)[ndx]
+    mask = np.asarray(data.mask)[ndx].astype(np.float64)
+    off_s = np.asarray(data.offset.samples, np.float64)
+    off_logw = np.log(np.asarray(data.offset.weights, np.float64))
+
+    gain = float(gamma_sample(gkeys[0], pc["gain_loc"] * pc["gain_beta"],
+                              pc["gain_beta"]))
+    init = np.asarray(dirichlet_sample(
+        gkeys[1], pc["init_mean"] * pc["init_size"]))  # (Q, S1)
+    trans = np.asarray(dirichlet_sample(
+        gkeys[2], pc["trans_mean"] * pc["trans_size"]))  # (Q, S1, S1)
+    lamda = np.asarray(gamma_sample(
+        gkeys[3], pc["lamda_loc"] * pc["lamda_beta"], pc["lamda_beta"]))
+    prox = float(affine_beta_sample(gkeys[4], pc["proximity_loc"],
+                                    pc["proximity_size"], 0.0, prox_high))
+    b_loc, b_beta = pc["b_loc"][ndx], pc["b_beta"][ndx]
+    b = np.asarray(gamma_sample(lkeys[0], b_loc * b_beta, b_beta))
+
+    def gk(name):
+        return np.moveaxis(pc[name][:, ndx], 0, -1)  # (n, F, Q, K)
+
+    h_loc, h_beta = gk("h_loc"), gk("h_beta")
+    w_mean, w_size = gk("w_mean"), gk("w_size")
+    x_mean, y_mean = gk("x_mean"), gk("y_mean")
+    size = gk("size")
+    h = np.asarray(gamma_sample(lkeys[1], h_loc * h_beta, h_beta))
+    w, xs, ys = (
+        np.asarray(a)
+        for a in affine_beta_sample_stacked(
+            lkeys[2],
+            [w_mean, x_mean, y_mean],
+            [w_size, size, size],
+            [wmin, -lim, -lim],
+            [wmax, lim, lim],
+        )
+    )
+    # hmm m_probs is (S1, K, Nt, F, C) -> (S1, n, F, C, K)
+    qm = np.moveaxis(pc["m_probs"][:, :, ndx], 1, -1)
+    A = pc["z_trans"][ndx]  # (n, F, C, S1, S1)
+
+    # ---- global term -------------------------------------------------------
+    n_shards = 1
+    global_term = (
+        _halfnormal_logpdf(gain, priors["gain_std"])
+        - _gamma_logpdf(gain, float(pc["gain_loc"] * pc["gain_beta"]),
+                        float(pc["gain_beta"]))
+    )
+    for q in range(Q):
+        global_term += st.dirichlet.logpdf(
+            init[q] / init[q].sum(), np.full(S1, 1.0 / S1)
+        ) - st.dirichlet.logpdf(
+            init[q] / init[q].sum(), (pc["init_mean"] * pc["init_size"])[q]
+        )
+        for s in range(S1):
+            global_term += st.dirichlet.logpdf(
+                trans[q, s] / trans[q, s].sum(), np.full(S1, 1.0 / S1)
+            ) - st.dirichlet.logpdf(
+                trans[q, s] / trans[q, s].sum(),
+                (pc["trans_mean"] * pc["trans_size"])[q, s],
+            )
+        global_term += st.expon.logpdf(lamda[q], scale=1 / priors["lamda_rate"])
+        global_term -= _gamma_logpdf(
+            lamda[q], float((pc["lamda_loc"] * pc["lamda_beta"])[q]),
+            float(pc["lamda_beta"][q]),
+        )
+    global_term += st.expon.logpdf(prox, scale=1 / priors["proximity_rate"])
+    global_term -= _affine_beta_logpdf(
+        prox, float(pc["proximity_loc"]), float(pc["proximity_size"]),
+        0.0, prox_high,
+    )
+    global_term /= n_shards
+
+    bm = pc["background_mean_loc"][ndx][:, 0, :]
+    bs = pc["background_std_loc"][ndx][:, 0, :]
+    aoi_term = sum(
+        mask[i] * (
+            _halfnormal_logpdf(bm[i, c], priors["background_mean_std"])
+            + _halfnormal_logpdf(bs[i, c], priors["background_std_std"])
+        )
+        for i in range(n) for c in range(C)
+    )
+
+    size_sp = ((P + 1) / (2 * prox)) ** 2 - 1.0
+    local_total = 0.0
+    for i in range(n):
+        # ---- chain marginals gamma_f(s) = row 0 of prefix product ----------
+        gamma = np.zeros((F, C, S1))
+        for c in range(C):
+            v = A[i, 0, c, 0, :].copy()
+            gamma[0, c] = v
+            for f in range(1, F):
+                v = v @ A[i, f, c]
+                gamma[f, c] = v
+
+        # ---- chain term ----------------------------------------------------
+        chain = 0.0
+        for c in range(C):
+            q = c
+            for s in range(S1):
+                p_init = init[q, s] if ont[i] else (1.0 if s == 0 else 0.0)
+                q0 = A[i, 0, c, 0, s]
+                chain += q0 * (_slog(p_init) - math.log(q0))
+            for f in range(1, F):
+                for s in range(S1):
+                    for s2 in range(S1):
+                        p_tr = (
+                            trans[q, s, s2] if ont[i]
+                            else (1.0 if s2 == 0 else 0.0)
+                        )
+                        xi = gamma[f - 1, c, s] * A[i, f, c, s, s2]
+                        chain += xi * (_slog(p_tr) - math.log(A[i, f, c, s, s2]))
+
+        # ---- per-frame local terms -----------------------------------------
+        frames_total = 0.0
+        for f in range(F):
+            for c in range(C):
+                q = c
+                for s in range(S1):
+                    # feasibility-renormalized q(m | z = s): z > 0 excludes
+                    # the all-absent config
+                    cfgs = [
+                        mt for mt in itertools.product((0, 1), repeat=K)
+                        if s == 0 or any(mt)
+                    ]
+                    logq = []
+                    for mt in cfgs:
+                        lq = sum(
+                            math.log(qm[s, i, f, q, k]) if mt[k]
+                            else math.log1p(-qm[s, i, f, q, k])
+                            for k in range(K)
+                        )
+                        logq.append(lq)
+                    norm = logsumexp(logq)
+                    ell = 0.0
+                    for mt, lq in zip(cfgs, logq):
+                        lqn = lq - norm
+                        # inner: logsumexp over theta given z = s
+                        terms = []
+                        for t in range(1 + K):
+                            p_t = (
+                                (1.0 if t == 0 else 0.0) if s == 0
+                                else (0.0 if t == 0 else 1.0 / K)
+                            )
+                            if p_t == 0.0:
+                                continue
+                            lp = math.log(p_t)
+                            ok = True
+                            for k in range(K):
+                                p1 = _p_m_given_theta(lamda[q], t, k, K)
+                                if mt[k]:
+                                    if p1 == 0.0:
+                                        ok = False
+                                        break
+                                    lp += math.log(p1)
+                                    sz = size_sp if t == k + 1 else 2.0
+                                    lp += _affine_beta_logpdf(
+                                        xs[i, f, q, k], 0.0, sz, -lim, lim
+                                    ) + _affine_beta_logpdf(
+                                        ys[i, f, q, k], 0.0, sz, -lim, lim
+                                    )
+                                else:
+                                    if p1 == 1.0:
+                                        ok = False
+                                        break
+                                    lp += math.log1p(-p1)
+                            if ok:
+                                terms.append(lp)
+                        inner = logsumexp(terms)
+                        term_hw = sum(
+                            mt[k] * (
+                                _halfnormal_logpdf(h[i, f, q, k],
+                                                   priors["height_std"])
+                                + _affine_beta_logpdf(w[i, f, q, k], 1.5, 2.0,
+                                                      wmin, wmax)
+                            )
+                            for k in range(K)
+                        )
+                        term_q = sum(
+                            mt[k] * (
+                                _gamma_logpdf(
+                                    h[i, f, q, k],
+                                    h_loc[i, f, q, k] * h_beta[i, f, q, k],
+                                    h_beta[i, f, q, k])
+                                + _affine_beta_logpdf(
+                                    w[i, f, q, k], w_mean[i, f, q, k],
+                                    w_size[i, f, q, k], wmin, wmax)
+                                + _affine_beta_logpdf(
+                                    xs[i, f, q, k], x_mean[i, f, q, k],
+                                    size[i, f, q, k], -lim, lim)
+                                + _affine_beta_logpdf(
+                                    ys[i, f, q, k], y_mean[i, f, q, k],
+                                    size[i, f, q, k], -lim, lim)
+                            )
+                            for k in range(K)
+                        )
+                        mu = np.full((P, P), b[i, f, c])
+                        for k in range(K):
+                            if mt[k]:
+                                mu += _gauss_spot(
+                                    h[i, f, q, k], w[i, f, q, k],
+                                    xs[i, f, q, k] + target[i, f, c, 0],
+                                    ys[i, f, q, k] + target[i, f, c, 1],
+                                    P,
+                                )
+                        loglik = 0.0
+                        for px in range(P):
+                            for py in range(P):
+                                tt = off_logw + _gamma_logpdf(
+                                    obs[i, f, c, px, py] - off_s,
+                                    mu[px, py] / gain, 1.0 / gain,
+                                )
+                                loglik += logsumexp(tt)
+                        ell += math.exp(lqn) * (
+                            inner + term_hw + loglik - term_q - lqn
+                        )
+                    frames_total += gamma[f, c, s] * ell
+                frames_total += (
+                    _gamma_logpdf(b[i, f, c], (bm[i, c] / bs[i, c]) ** 2,
+                                  bm[i, c] / bs[i, c] ** 2)
+                    - _gamma_logpdf(b[i, f, c],
+                                    b_loc[i, f, c] * b_beta[i, f, c],
+                                    b_beta[i, f, c])
+                )
+        local_total += mask[i] * (frames_total + chain)
+
+    return global_term + aoi_term * (Nt / n) + local_total * (Nt / n)
+
+
+@pytest.mark.slow
+def test_hmm_elbo_matches_naive_loops():
+    params = dict(PARAMS)
+    del params["pi"]
+    params.update(kon=0.2, koff=0.2)
+    data = simulate("cosmos+hmm", N=4, F=5, C=1, P=14, seed=4, params=params)
+    model = models["cosmos+hmm"](dtype="double")
+    model.data = data
+    model.nbatch_size = 3  # mixes on- and off-target AOIs
+    model.fbatch_size = 5
+    model.init_parameters()
+    model._data_dev = model._data_device_arrays()
+    for seed in (0, 1):
+        key = jax.random.PRNGKey(seed)
+        got = float(model.elbo(model.params, key, model._data_dev))
+        want = naive_hmm_elbo(model, model.params, key)
+        np.testing.assert_allclose(got, want, rtol=1e-6, err_msg=f"key {seed}")
