@@ -26,6 +26,7 @@ from tapqir_tpu.distributions.ksmogn import (  # noqa: F401
 from tapqir_tpu.distributions.util import (  # noqa: F401
     expand_offtarget,
     gaussian_spots,
+    gaussian_spots_flat,
     probs_m,
     probs_theta,
     truncated_poisson_probs,

@@ -64,7 +64,7 @@ def offset_gamma_log_prob(
 
 def offset_gamma_log_prob_summed(
     value, concentration, rate, offset_samples, offset_logits,
-    event_ndims=2, use_pallas=None,
+    event_ndims=2, use_pallas=None, ev=None,
 ):
     """log p summed over the trailing ``event_ndims`` dims, computed in a
     FLAT pixel layout end-to-end.
@@ -76,9 +76,42 @@ def offset_gamma_log_prob_summed(
     reducing it afterwards makes XLA materialize several 16-32 MB layout
     copies per step (profiled); summing pixel groups in the flat row-major
     layout avoids all of them.
+
+    With ``ev`` set, the trailing axis is a LANE-PADDED flat event axis
+    (a multiple of 128) of which only the first ``ev`` entries are real
+    pixels; the rest are masked out of the sum, and the event reduction runs
+    INSIDE the Pallas kernel (offset_gamma_summed_pallas) so the whole
+    pipeline stays lane-aligned - no XLA relayout loops. Padded VALUE
+    entries must exceed every offset sample so their (masked) log-probs stay
+    finite; padded concentrations must be positive.
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    if ev is not None:
+        assert event_ndims == 1
+        M = concentration.shape[0]
+        batch_shape = concentration.shape[1:-1]
+        ev_pad = concentration.shape[-1]
+        nb = 1
+        for d in batch_shape:
+            nb *= d
+        if use_pallas:
+            from tapqir_tpu.ops.offset_gamma import offset_gamma_summed_pallas
+
+            try:
+                out = offset_gamma_summed_pallas(
+                    value.reshape(nb, ev_pad),
+                    concentration.reshape(M, nb, ev_pad),
+                    rate, offset_samples, offset_logits, ev,
+                )  # (M, nb)
+                return out.reshape((M,) + batch_shape)
+            except NotImplementedError:
+                pass
+        mask = (jnp.arange(ev_pad) < ev).astype(concentration.dtype)
+        lp = _offset_gamma_log_prob_xla(
+            value, concentration, rate, offset_samples, offset_logits
+        )
+        return (lp * mask).sum(-1)
     M = concentration.shape[0]
     batch_shape = concentration.shape[1 : concentration.ndim - event_ndims]
     ev = 1

@@ -130,17 +130,21 @@ class Model:
                 raise TapqirFileNotFoundError("summary", summary_path)
             self.summary = pd.read_csv(summary_path, index_col=0)
 
+    def _device_image_stack(self):
+        """Device layout of the image stack; overridden by models that use
+        the lane-padded flat pipeline (hmm). Default: frame-minor
+        (Nt, C, P, P, F) - XLA's layout assignment wants the frame axis
+        minor for the in-loop AOI gather + frame window (avoids a full-array
+        relayout copy, 1 GB/step at eLife scale)."""
+        return np.ascontiguousarray(
+            np.transpose(self.data.images, (0, 2, 3, 4, 1))
+        )
+
     def _data_device_arrays(self):
         d = self.data
         dt = self.dtype
-        # the image stack is stored frame-minor on device, (Nt, C, P, P, F):
-        # XLA's layout assignment wants the frame axis minor for the in-loop
-        # AOI gather + frame window; storing it that way up front avoids a
-        # full-array relayout copy (1 GB/step at eLife scale) in the hot loop
         arrays = dict(
-            images=jnp.asarray(
-                np.ascontiguousarray(np.transpose(d.images, (0, 2, 3, 4, 1))), dt
-            ),
+            images=jnp.asarray(self._device_image_stack(), dt),
             xy=jnp.asarray(d.xy, dt),
             is_ontarget=jnp.asarray(d.is_ontarget, jnp.int32),
             mask=jnp.asarray(d.mask, dt),

@@ -245,3 +245,194 @@ def offset_gamma_log_prob_pallas(value, concentration, rate, offset_samples, off
         - jax.scipy.special.gammaln(concentration)
         + lse
     )
+
+
+# ---------------------------------------------------------------------------
+# summed variant: in-kernel event reduction over a lane-padded flat pixel axis
+# ---------------------------------------------------------------------------
+#
+# The per-pixel kernel above forces its callers to repack (M, nb, P*P)
+# tensors into the (R, 128) row layout; with P*P = 196 not lane-aligned, XLA
+# lowers those reshapes to serial relayout loops that cost several times the
+# kernel itself (profiled at eLife scale: ~6 ms of an 11.5 ms hmm step).
+# This variant keeps the caller's native (M, nb, EVP) layout (EVP = event
+# size padded to a multiple of 128), reduces each image's pixels INSIDE the
+# kernel to a (M, nb, 128) partial (last dims (8,128)-tileable), and leaves
+# only a lane reduction + the value-independent Gamma terms to fused XLA.
+# Measured 2x faster than the per-pixel path for likelihood fwd+grad at hmm
+# shapes before even counting the upstream relayouts it removes.
+
+import functools
+
+
+def _pick_tile_batch(J: int, M: int, EVP: int):
+    """Images per grid step so the (J, TB, EVP) scratch + M-leading blocks
+    fit scoped VMEM."""
+    for tb in (16, 8):
+        if (3 * J + 8 * M) * tb * EVP * 4 <= 4 * 1024 * 1024:
+            return tb
+    return None
+
+
+def _sum_stage(ev, g_ref, w_ref, b_ref, x_ref, lbuf, cbuf, dbuf):
+    J = g_ref.shape[0]
+    x = x_ref[:]
+
+    def body(j, _):
+        d = x - g_ref[j]
+        ok = d > 0.0
+        lbuf[j] = jnp.where(ok, jnp.log(jnp.where(ok, d, 1.0)), 0.0)
+        cbuf[j] = jnp.where(ok, w_ref[j] - b_ref[0] * d, NEG)
+        dbuf[j] = jnp.where(ok, d, 0.0)
+        return 0
+
+    jax.lax.fori_loop(0, J, body, 0)
+
+
+def _ev_mask(ev, EVP, dtype):
+    return (jax.lax.broadcasted_iota(jnp.int32, (1, EVP), 1) < ev).astype(dtype)
+
+
+def _sum_fwd_kernel(ev, g_ref, w_ref, b_ref, x_ref, a_ref,
+                    out_ref, lbuf, cbuf, dbuf):
+    M = a_ref.shape[0]
+    EVP = x_ref.shape[-1]
+    _sum_stage(ev, g_ref, w_ref, b_ref, x_ref, lbuf, cbuf, dbuf)
+    L, c = lbuf[:], cbuf[:]
+    mask = _ev_mask(ev, EVP, x_ref.dtype)
+    for m in range(M):
+        t = c + (a_ref[m] - 1.0) * L
+        mx = jnp.max(t, axis=0)
+        s = jnp.sum(jnp.exp(t - mx), axis=0)
+        pre = (mx + jnp.log(s)) * mask  # (TB, EVP)
+        out_ref[m] = pre.reshape(pre.shape[0], EVP // LANE, LANE).sum(1)
+
+
+def _sum_stats_kernel(ev, g_ref, w_ref, b_ref, x_ref, a_ref,
+                      out_ref, spl_ref, spd_ref, lbuf, cbuf, dbuf):
+    M = a_ref.shape[0]
+    EVP = x_ref.shape[-1]
+    _sum_stage(ev, g_ref, w_ref, b_ref, x_ref, lbuf, cbuf, dbuf)
+    L, c, d = lbuf[:], cbuf[:], dbuf[:]
+    mask = _ev_mask(ev, EVP, x_ref.dtype)
+    for m in range(M):
+        t = c + (a_ref[m] - 1.0) * L
+        mx = jnp.max(t, axis=0)
+        e = jnp.exp(t - mx)
+        s = jnp.sum(e, axis=0)
+        inv_s = 1.0 / s
+        pre = (mx + jnp.log(s)) * mask
+        out_ref[m] = pre.reshape(pre.shape[0], EVP // LANE, LANE).sum(1)
+        spl_ref[m] = jnp.sum(e * L, axis=0) * inv_s * mask
+        spd_ref[m] = jnp.sum(e * d, axis=0) * inv_s * mask
+
+
+def _sum_call(kernel, n_outs, x2, a3, rate, g, w, ev, TB):
+    M, nb, EVP = a3.shape
+    J = g.shape[0]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((TB, EVP), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((M, TB, EVP), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_spec_sum = pl.BlockSpec((M, TB, LANE), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)
+    out_spec_px = pl.BlockSpec((M, TB, EVP), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM)
+    out_specs = [out_spec_sum] + [out_spec_px] * (n_outs - 1)
+    out_shape = [jax.ShapeDtypeStruct((M, nb, LANE), x2.dtype)] + [
+        jax.ShapeDtypeStruct((M, nb, EVP), x2.dtype)
+    ] * (n_outs - 1)
+    scratch = [pltpu.VMEM((J, TB, EVP), jnp.float32) for _ in range(3)]
+    out = pl.pallas_call(
+        functools.partial(kernel, ev),
+        grid=(nb // TB,),
+        in_specs=in_specs,
+        out_specs=out_specs if n_outs > 1 else out_specs[0],
+        out_shape=out_shape if n_outs > 1 else out_shape[0],
+        scratch_shapes=scratch,
+        interpret=_interpret(),
+    )(g, w, rate.reshape(1), x2, a3)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _lse_sum_core(x2, a3, rate, g, w, ev, TB):
+    return _sum_call(_sum_fwd_kernel, 1, x2, a3, rate, g, w, ev, TB).sum(-1)
+
+
+def _lse_sum_fwd(x2, a3, rate, g, w, ev, TB):
+    out, spl, spd = _sum_call(_sum_stats_kernel, 3, x2, a3, rate, g, w, ev, TB)
+    return out.sum(-1), (spl, spd, x2, rate, g, w)
+
+
+def _lse_sum_bwd(ev, TB, res, go):
+    spl, spd, x2, rate, g, w = res
+    da = go[..., None] * spl
+    drate = -(go[..., None] * spd).sum()
+    return (
+        jnp.zeros_like(x2),
+        da,
+        drate.reshape(rate.shape),
+        jnp.zeros_like(g),
+        jnp.zeros_like(w),
+    )
+
+
+_lse_sum_core.defvjp(_lse_sum_fwd, _lse_sum_bwd)
+
+
+def offset_gamma_summed_pallas(value, concentration, rate, offset_samples,
+                               offset_logits, ev):
+    """Offset-marginalized Gamma log-pdf, event-summed inside the kernel.
+
+    :param value: (nb, EVP) lane-padded flat images; padded entries MUST
+        exceed every offset sample (their masked log-probs stay finite).
+    :param concentration: (M, nb, EVP); padded entries must be positive.
+    :param ev: number of real pixels per image (static); the rest of EVP is
+        masked out of the sum.
+    :return: (M, nb) log-probabilities summed over each image's pixels.
+    """
+    if jnp.ndim(rate) != 0:
+        raise NotImplementedError("summed pallas kernel requires scalar rate")
+    if concentration.dtype != jnp.float32:
+        raise NotImplementedError("pallas kernel is float32-only")
+    M, nb, EVP = concentration.shape
+    if EVP % LANE != 0:
+        raise NotImplementedError(f"event axis must be lane-padded: {EVP}")
+    J = offset_samples.shape[0]
+    TB = _pick_tile_batch(J, M, EVP)
+    if TB is None:
+        raise NotImplementedError(
+            f"offset bins x configs too large for VMEM: J={J}, M={M}"
+        )
+    nb_pad = -(-nb // TB) * TB
+    if nb_pad != nb:
+        # pad with dead images: value above every offset, concentration 1
+        pad_v = jnp.max(offset_samples).astype(value.dtype) + 1.0
+        value = jnp.concatenate(
+            [value, jnp.full((nb_pad - nb, EVP), pad_v, value.dtype)], 0
+        )
+        concentration = jnp.concatenate(
+            [
+                concentration,
+                jnp.ones((M, nb_pad - nb, EVP), concentration.dtype),
+            ],
+            1,
+        )
+    lse_sum = _lse_sum_core(
+        value,
+        concentration,
+        jnp.asarray(rate, concentration.dtype),
+        offset_samples.astype(concentration.dtype),
+        offset_logits.astype(concentration.dtype),
+        ev,
+        TB,
+    )[:, :nb]
+    conc = concentration[:, :nb]
+    mask = (jnp.arange(EVP) < ev).astype(conc.dtype)
+    tail = ((conc * jnp.log(rate) - jax.scipy.special.gammaln(conc)) * mask).sum(-1)
+    return lse_sum + tail

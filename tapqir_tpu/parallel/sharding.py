@@ -39,11 +39,19 @@ def make_mesh(n_aoi: int, n_frame: int = 1, devices=None) -> Mesh:
     return Mesh(grid, ("aoi", "frame"))
 
 
-def data_partition() -> dict:
-    """PartitionSpecs for the device-resident dataset arrays."""
+def data_partition(images_ndim: int = 5) -> dict:
+    """PartitionSpecs for the device-resident dataset arrays.
+
+    The image-stack spec depends on the model's device layout: frame-minor
+    dense (Nt, C, P, P, F) for cosmos/crosstalk, lane-padded flat
+    (Nt, F, C, EVP) for hmm (Model._device_image_stack)."""
+    images_spec = (
+        P("aoi", None, None, None, "frame")
+        if images_ndim == 5
+        else P("aoi", "frame", None, None)
+    )
     return {
-        # device image layout is frame-minor: (Nt, C, P, P, F)
-        "images": P("aoi", None, None, None, "frame"),
+        "images": images_spec,
         "xy": P("aoi", "frame"),
         "is_ontarget": P("aoi"),
         "mask": P("aoi"),
@@ -54,7 +62,7 @@ def data_partition() -> dict:
 
 def shard_params_and_data(mesh, params, param_specs, data, data_specs=None):
     """Place params/data on the mesh with their PartitionSpecs."""
-    data_specs = data_specs or data_partition()
+    data_specs = data_specs or data_partition(data["images"].ndim)
     params_sh = {
         k: jax.device_put(v, NamedSharding(mesh, param_specs[k]))
         for k, v in params.items()
@@ -74,7 +82,9 @@ def make_sharded_grads_fn(model, mesh):
     axes the corresponding parameter is replicated over.
     """
     param_specs = model.param_partition()
-    data_specs = data_partition()
+    data_specs = data_partition(
+        4 if getattr(model, "flat_padded_images", False) else 5
+    )
     n_shards = mesh.devices.size
     frame_shards = int(mesh.shape["frame"])
     axes = ("aoi", "frame")

@@ -132,3 +132,82 @@ def test_summed_path_matches_per_pixel_sum():
     ).sum(-1)
     assert got.shape == (4, 3, 5)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=1e-3)
+
+
+def test_summed_kernel_padded_ev_matches_xla():
+    """The in-kernel event reduction (offset_gamma_summed_pallas): padded
+    pixels masked out of the sum, value-independent Gamma terms added, and
+    the custom VJP's concentration gradient flows only through real pixels."""
+    from tapqir_tpu.distributions.ksmogn import (
+        _offset_gamma_log_prob_xla,
+        offset_gamma_log_prob_summed,
+    )
+
+    rng = np.random.default_rng(3)
+    M, nb, ev, ev_pad, J = 4, 12, 196, 256, 7
+    value = rng.integers(95, 400, size=(nb, ev)).astype(np.float32)
+    conc = rng.uniform(10.0, 80.0, size=(M, nb, ev)).astype(np.float32)
+    g = np.sort(rng.integers(80, 95, size=J)).astype(np.float32)
+    w = np.log(rng.dirichlet(np.ones(J))).astype(np.float32)
+    rate = np.float32(1.0 / 7.0)
+    value_p = np.concatenate(
+        [value, np.full((nb, ev_pad - ev), g.max() + 1.0, np.float32)], -1
+    )
+    conc_p = np.concatenate(
+        [conc, np.full((M, nb, ev_pad - ev), 5.0, np.float32)], -1
+    )
+    got = offset_gamma_log_prob_summed(
+        jnp.asarray(value_p), jnp.asarray(conc_p), jnp.asarray(rate),
+        jnp.asarray(g), jnp.asarray(w),
+        event_ndims=1, use_pallas=True, ev=ev,
+    )
+    want = _offset_gamma_log_prob_xla(
+        jnp.asarray(value), jnp.asarray(conc), jnp.asarray(rate),
+        jnp.asarray(g), jnp.asarray(w),
+    ).sum(-1)
+    assert got.shape == (M, nb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5,
+                               atol=1e-2)
+
+    def loss(c):
+        return offset_gamma_log_prob_summed(
+            jnp.asarray(value_p), c, jnp.asarray(rate),
+            jnp.asarray(g), jnp.asarray(w),
+            event_ndims=1, use_pallas=True, ev=ev,
+        ).sum()
+
+    gr = jax.grad(loss)(jnp.asarray(conc_p))
+    assert np.isfinite(np.asarray(gr)).all()
+    np.testing.assert_array_equal(np.asarray(gr[..., ev:]), 0.0)
+    # gradient parity vs the XLA path on the real pixels
+    def loss_xla(c):
+        return offset_gamma_log_prob_summed(
+            jnp.asarray(value), c, jnp.asarray(rate),
+            jnp.asarray(g), jnp.asarray(w),
+            event_ndims=1, use_pallas=False,
+        ).sum()
+
+    gr_xla = jax.grad(loss_xla)(jnp.asarray(conc))
+    np.testing.assert_allclose(
+        np.asarray(gr[..., :ev]), np.asarray(gr_xla), rtol=2e-4, atol=1e-4
+    )
+
+
+def test_gaussian_spots_flat_matches_reshaped():
+    from tapqir_tpu.distributions.util import gaussian_spots, gaussian_spots_flat
+
+    rng = np.random.default_rng(5)
+    P, K, ev_pad = 14, 2, 256
+    sh = (3, 4, 1, K)
+    h = jnp.asarray(rng.uniform(500, 3000, sh), jnp.float32)
+    w = jnp.asarray(rng.uniform(1.0, 2.0, sh), jnp.float32)
+    x = jnp.asarray(rng.uniform(-2, 2, sh), jnp.float32)
+    y = jnp.asarray(rng.uniform(-2, 2, sh), jnp.float32)
+    t = jnp.asarray(rng.uniform(5, 9, sh[:-1] + (2,)), jnp.float32)
+    flat = gaussian_spots_flat(h, w, x, y, t, P, ev_pad)
+    full = gaussian_spots(h, w, x, y, t, P).reshape(sh + (P * P,))
+    assert flat.shape == sh + (ev_pad,)
+    np.testing.assert_allclose(
+        np.asarray(flat[..., : P * P]), np.asarray(full), rtol=1e-5, atol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(flat[..., P * P :]), 0.0)
