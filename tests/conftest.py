@@ -13,8 +13,6 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-# double precision available for golden-value comparisons against scipy
-os.environ["JAX_ENABLE_X64"] = "1"
 
 # some pytest entry-point plugin may have imported jax already (before this
 # conftest); the backend is still uninitialized at collection time, so the
@@ -23,7 +21,12 @@ import jax  # noqa: E402
 import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+# NOTE: x64 is NOT enabled globally - with jax_enable_x64 on, weak-type
+# promotion pulls float32 model graphs into float64 on CPU, which is ~100x
+# slower per SVI step (measured: crosstalk 3 it/s vs 338 it/s). Tests that
+# need double precision create models with dtype="double" (Model.__init__
+# flips the flag) or enable it locally; the autouse fixture below restores
+# the flag after every test so it cannot leak into float32 fits.
 # persistent compilation cache: XLA compiles dominate this suite's runtime
 # (30-60 s/model on CPU); warm re-runs skip them entirely
 jax.config.update(
@@ -46,6 +49,14 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: long-running fit (excluded unless --runslow)"
     )
+
+
+@pytest.fixture(autouse=True)
+def _restore_x64():
+    old = jax.config.jax_enable_x64
+    yield
+    if jax.config.jax_enable_x64 != old:
+        jax.config.update("jax_enable_x64", old)
 
 
 def pytest_collection_modifyitems(config, items):

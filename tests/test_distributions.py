@@ -16,6 +16,14 @@ from tapqir_tpu.distributions.util import (
 )
 
 
+@pytest.fixture(autouse=True)
+def _x64():
+    """Golden scipy comparisons at rtol 1e-6..1e-10 need float64 math; the
+    conftest autouse fixture restores the flag after each test."""
+    jax.config.update("jax_enable_x64", True)
+    yield
+
+
 def test_gamma_log_prob_matches_scipy():
     x = np.array([0.5, 2.0, 10.0, 300.0])
     conc = np.array([0.7, 3.0, 50.0, 200.0])

@@ -20,7 +20,7 @@ BASE = {
     "width": 1.4, "gain": 7.0, "lamda": 0.15, "proximity": 0.2,
     "offset": 90.0, "height": 3000, "background": 150,
 }
-ITERS = 10000
+ITERS = 8000
 
 pytestmark = pytest.mark.slow
 
