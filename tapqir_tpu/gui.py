@@ -21,7 +21,6 @@ stays testable on headless TPU VMs:
 
 import json
 import logging
-import os
 from pathlib import Path
 
 import numpy as np
@@ -808,13 +807,25 @@ def _write_app_notebook(path: Path) -> Path:
 def app():  # pragma: no cover - launches a browser server
     """``tapqir-gui`` console entry point: serve the notebook app via voila
     when installed, else jupyter notebook (reference: tapqir/gui.py:1358-1362
-    shells out to voila)."""
-    nbpath = _write_app_notebook(Path.home() / ".tapqir-gui.ipynb")
-    try:
-        import voila  # noqa: F401
+    shells out to voila).
 
-        cmd = f"voila {nbpath}"
-    except ImportError:
-        cmd = f"python -m notebook {nbpath}"
-    logger.info(f"Launching GUI: {cmd}")
-    os.system(cmd)
+    The launcher notebook is written to a private temporary directory (not
+    the user's home) and the server runs as a child process via subprocess,
+    so shell metacharacters in paths are inert and Ctrl-C propagates."""
+    import subprocess
+    import sys
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="tapqir-gui-") as td:
+        nbpath = _write_app_notebook(Path(td) / "tapqir-gui.ipynb")
+        try:
+            import voila  # noqa: F401
+
+            cmd = [sys.executable, "-m", "voila", str(nbpath)]
+        except ImportError:
+            cmd = [sys.executable, "-m", "notebook", str(nbpath)]
+        logger.info(f"Launching GUI: {' '.join(cmd)}")
+        try:
+            subprocess.run(cmd, check=False)
+        except KeyboardInterrupt:
+            pass

@@ -313,7 +313,7 @@ def _make_model(model, S, k_max, cpu, dtype):
 @click.option("--matlab", is_flag=True,
               default=lambda: bool(get_default("matlab", False)),
               help="Save parameters in matlab format")
-@click.option("--dtype", type=click.Choice(["float32", "double", "bfloat16"]),
+@click.option("--dtype", type=click.Choice(["float32", "double"]),
               default="float32", help="Floating point precision")
 @click.option("--profile", type=int, default=0,
               help="Capture a jax profiler trace of N training steps and exit")
@@ -410,7 +410,7 @@ def fit(model, S, cpu, nbatch_size, fbatch_size, learning_rate, num_iter,
 @click.option("--k-max", "-k", type=int, default=2)
 @click.option("--matlab", is_flag=True, default=False,
               help="Save parameters in matlab format")
-@click.option("--dtype", type=click.Choice(["float32", "double", "bfloat16"]),
+@click.option("--dtype", type=click.Choice(["float32", "double"]),
               default="float32")
 @click.option("--no-input", is_flag=True, default=False)
 def stats(model, S, cpu, nbatch_size, fbatch_size, k_max, matlab, dtype, no_input):

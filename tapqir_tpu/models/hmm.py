@@ -440,7 +440,7 @@ class hmm(cosmos):
     def compute_probs(self):
         return self.z_probs, self.theta_probs
 
-    def compute_probs_arrays(self, num_particles=5, key=None):
+    def compute_probs_arrays(self, num_particles=50, key=None):
         return self.z_probs, self._compute_theta_probs(num_particles, key)
 
     @property
@@ -451,7 +451,7 @@ class hmm(cosmos):
         qm_z = np.moveaxis(qm, (0, 1), (-1, 0))  # (K, Nt, F, C, S1)
         return np.take_along_axis(qm_z, z_map[None, ..., None], axis=-1)[..., 0]
 
-    def _compute_theta_probs(self, num_particles=5, key=None):
+    def _compute_theta_probs(self, num_particles=50, key=None):
         S, K, Q = self.S, self.K, self.Q
         P = self.data.P
         dtype = self.dtype

@@ -48,13 +48,16 @@ def _default_progress(it):
         return it
 
 
+# bfloat16 is deliberately NOT offered: the likelihood is dominated by
+# log/exp/lgamma transcendentals on the VPU (no MXU matmuls to speed up) and
+# bf16's 8-bit mantissa is numerically poor for the logsumexp accumulations,
+# so a bf16 fit would silently be both slower-to-converge and less accurate.
 _DTYPES = {
     "float": jnp.float32,
     "float32": jnp.float32,
     "single": jnp.float32,
     "double": jnp.float64,
     "float64": jnp.float64,
-    "bfloat16": jnp.bfloat16,
 }
 
 
@@ -94,6 +97,10 @@ class Model:
         self.data_path = None
         self.path = None
         self.run_path = None
+        if dtype not in _DTYPES:
+            raise ValueError(
+                f"unsupported dtype {dtype!r}; choose from {sorted(_DTYPES)}"
+            )
         self.dtype = _DTYPES[dtype]
         if self.dtype == jnp.float64 and not jax.config.jax_enable_x64:
             # the reference fits in double precision (main.py:428,542); x64

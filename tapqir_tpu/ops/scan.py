@@ -11,7 +11,11 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.special import logsumexp
 
-__all__ = ["logmatmulexp", "cumulative_logmatmulexp"]
+__all__ = [
+    "logmatmulexp",
+    "cumulative_logmatmulexp",
+    "sharded_cumulative_logmatmulexp",
+]
 
 
 def logmatmulexp(a, b):

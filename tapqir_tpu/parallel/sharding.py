@@ -130,7 +130,6 @@ def make_sharded_grads_fn(model, mesh):
         mesh=mesh,
         in_specs=(param_specs, P(), data_specs),
         out_specs=(P(), param_specs),
-        check_vma=False,
     )
     def loss_and_grads(params_local, key, data_local):
         shard_id = jax.lax.axis_index("aoi") * jax.lax.axis_size(
