@@ -7,8 +7,12 @@ rate b are shared):
 
     out[m, i] = logsumexp_j [ w_j + (a[m,i] - 1) * log(x_i - g_j)
                               - b * (x_i - g_j) ]        (masked to x_i > g_j)
+                + a[m,i] * log(b) - lgamma(a[m,i])
 
-The caller adds the value-independent terms a*log(b) - lgamma(a).
+The value-independent Gamma tail is evaluated IN-KERNEL with a Stirling
+lgamma (Mosaic has no lgamma primitive; see :func:`_lgamma_stirling`) - the
+XLA Lanczos-lgamma fusion it replaces cost as much as the whole kernel at
+eLife scale (~0.9 ms/step, profiled).
 
 Key optimizations over the fused-XLA path:
 
@@ -39,10 +43,68 @@ from jax.experimental.pallas import tpu as pltpu
 LANE = 128
 NEG = -1e30
 
+_HALF_LOG_2PI = 0.9189385332046727  # 0.5 * log(2 * pi)
+
 
 def _interpret():
     """Interpreter mode lets the kernel logic run (slowly) off-TPU for tests."""
     return os.environ.get("TAPQIR_PALLAS_INTERPRET", "0") == "1"
+
+
+def _lgamma_stirling(a):
+    """lgamma(a) for a > 0, implementable inside a Mosaic kernel.
+
+    Mosaic has no lgamma/digamma primitive; evaluating the Gamma-pdf tail
+    ``a log b - lgamma(a)`` outside the kernel cost ~0.9 ms/step of XLA
+    Lanczos-lgamma fusions at eLife scale (profiled - as large as the kernel
+    itself). Four-step upward recurrence lgamma(a) = lgamma(a+4) - log(a
+    (a+1)(a+2)(a+3)) puts z = a+4 >= 4, where the Stirling series through
+    the z^-7 Bernoulli term has absolute error < 4e-9 - far below f32
+    round-off of the surrounding sums. Cost: 2 logs + ~15 flops per element.
+
+    On-TPU accuracy is limited by the HARDWARE log approximation (~6e-5
+    absolute error), amplified by the (z - 0.5) factor to ~1e-4 * a absolute
+    lgamma error at large a. Measured: max abs err 0.147 for a <= 1584 -
+    statistically indistinguishable from XLA's own Lanczos gammaln lowering
+    on the same chip (0.126 over the same range; both are log-unit bound),
+    so this replaces the XLA tail at equal accuracy and ~0.9 ms/step less.
+    The series itself is exact to <5e-9 (CPU float64 golden test).
+    """
+    z = a + 4.0
+    r = 1.0 / z
+    r2 = r * r
+    series = r * (
+        0.08333333333333333  # 1/12
+        + r2 * (
+            -0.002777777777777778  # -1/360
+            + r2 * (
+                0.0007936507936507937  # 1/1260
+                + r2 * -0.0005952380952380953  # -1/1680
+            )
+        )
+    )
+    lg = (z - 0.5) * jnp.log(z) - z + _HALF_LOG_2PI + series
+    return lg - jnp.log(a * (a + 1.0) * (a + 2.0) * (a + 3.0))
+
+
+def _digamma_stirling(a):
+    """digamma(a) for a > 0 (gradient of :func:`_lgamma_stirling`).
+
+    Same 4-step recurrence; series through z^-6, absolute error < 7e-8 at
+    z = 4. Used by the stats kernels to fold the tail gradient
+    ``log b - digamma(a)`` into the fused forward+gradient pass.
+    """
+    z = a + 4.0
+    r = 1.0 / z
+    r2 = r * r
+    dg = jnp.log(z) - 0.5 * r - r2 * (
+        0.08333333333333333  # 1/12
+        - r2 * (
+            0.008333333333333333  # 1/120
+            - r2 * 0.003968253968253968  # 1/252
+        )
+    )
+    return dg - 1.0 / a - 1.0 / (a + 1.0) - 1.0 / (a + 2.0) - 1.0 / (a + 3.0)
 
 
 def _pick_tile_rows(J: int, M: int = 1):
@@ -76,29 +138,38 @@ def _fwd_kernel(g_ref, w_ref, b_ref, x_ref, a_ref, out_ref, lbuf, cbuf, dbuf):
     M = a_ref.shape[0]
     _stage(g_ref, w_ref, b_ref[0], x_ref[:], lbuf, cbuf, dbuf)
     L, c = lbuf[:], cbuf[:]
+    log_rate = jnp.log(b_ref[0])
     for m in range(M):  # static unroll over m-configurations
-        t = c + (a_ref[m] - 1.0) * L  # (J, TR, 128)
+        a = a_ref[m]
+        t = c + (a - 1.0) * L  # (J, TR, 128)
         mx = jnp.max(t, axis=0)
         s = jnp.sum(jnp.exp(t - mx), axis=0)
-        out_ref[m] = mx + jnp.log(s)
+        # full Gamma log-pdf: lse plus the value-independent tail
+        out_ref[m] = mx + jnp.log(s) + a * log_rate - _lgamma_stirling(a)
 
 
 def _fwd_stats_kernel(g_ref, w_ref, b_ref, x_ref, a_ref,
                       out_ref, spl_ref, spd_ref, lbuf, cbuf, dbuf):
     """Forward + gradient statistics from the same exponentials:
-    spl = sum_j p_j L_j (= d lse/d a), spd = sum_j p_j d_j (= -d lse/d b)."""
+    spl = d out/d a = sum_j p_j L_j + log b - digamma(a),
+    spd = d out/d b = a/b - sum_j p_j d_j."""
     M = a_ref.shape[0]
     _stage(g_ref, w_ref, b_ref[0], x_ref[:], lbuf, cbuf, dbuf)
     L, c, d = lbuf[:], cbuf[:], dbuf[:]
+    log_rate = jnp.log(b_ref[0])
+    inv_rate = 1.0 / b_ref[0]
     for m in range(M):
-        t = c + (a_ref[m] - 1.0) * L
+        a = a_ref[m]
+        t = c + (a - 1.0) * L
         mx = jnp.max(t, axis=0)
         e = jnp.exp(t - mx)  # (J, TR, 128); masked entries underflow to 0
         s = jnp.sum(e, axis=0)
         inv_s = 1.0 / s
-        out_ref[m] = mx + jnp.log(s)
-        spl_ref[m] = jnp.sum(e * L, axis=0) * inv_s
-        spd_ref[m] = jnp.sum(e * d, axis=0) * inv_s
+        out_ref[m] = mx + jnp.log(s) + a * log_rate - _lgamma_stirling(a)
+        spl_ref[m] = (
+            jnp.sum(e * L, axis=0) * inv_s + log_rate - _digamma_stirling(a)
+        )
+        spd_ref[m] = a * inv_rate - jnp.sum(e * d, axis=0) * inv_s
 
 
 def _pad_rows(arr, lane_to):
@@ -163,13 +234,13 @@ def _lse_core(x2d, a3d, rate, g, w):
 
 def _lse_fwd(x2d, a3d, rate, g, w):
     out, spl, spd = _lse_stats(x2d, a3d, rate, g, w)
-    return out, (spl, spd, x2d, a3d, rate, g, w)
+    return out, (spl, spd, x2d, rate, g, w)
 
 
 def _lse_bwd(res, go):
-    spl, spd, x2d, a3d, rate, g, w = res
+    spl, spd, x2d, rate, g, w = res
     da = go * spl
-    drate = -(go * spd).sum()
+    drate = (go * spd).sum()
     return (
         jnp.zeros_like(x2d),
         da,
@@ -237,14 +308,12 @@ def offset_gamma_log_prob_pallas(value, concentration, rate, offset_samples, off
         offset_samples.astype(dtype),
         offset_logits.astype(dtype),
     )
-    lse = out.reshape(M, R_pad * LANE)[:, :n_px].reshape((M,) + vshape)
+    # the kernel output already includes the value-independent Gamma tail
+    # a log b - lgamma(a) (Stirling, in-kernel - see _lgamma_stirling)
+    lp = out.reshape(M, R_pad * LANE)[:, :n_px].reshape((M,) + vshape)
     if squeeze:
-        lse = lse[0]
-    return (
-        concentration * jnp.log(rate)
-        - jax.scipy.special.gammaln(concentration)
-        + lse
-    )
+        lp = lp[0]
+    return lp
 
 
 # ---------------------------------------------------------------------------
@@ -300,11 +369,15 @@ def _sum_fwd_kernel(ev, g_ref, w_ref, b_ref, x_ref, a_ref,
     _sum_stage(ev, g_ref, w_ref, b_ref, x_ref, lbuf, cbuf, dbuf)
     L, c = lbuf[:], cbuf[:]
     mask = _ev_mask(ev, EVP, x_ref.dtype)
+    log_rate = jnp.log(b_ref[0])
     for m in range(M):
-        t = c + (a_ref[m] - 1.0) * L
+        a = a_ref[m]
+        t = c + (a - 1.0) * L
         mx = jnp.max(t, axis=0)
         s = jnp.sum(jnp.exp(t - mx), axis=0)
-        pre = (mx + jnp.log(s)) * mask  # (TB, EVP)
+        pre = (
+            mx + jnp.log(s) + a * log_rate - _lgamma_stirling(a)
+        ) * mask  # (TB, EVP): full Gamma log-pdf incl. in-kernel tail
         out_ref[m] = pre.reshape(pre.shape[0], EVP // LANE, LANE).sum(1)
 
 
@@ -315,16 +388,21 @@ def _sum_stats_kernel(ev, g_ref, w_ref, b_ref, x_ref, a_ref,
     _sum_stage(ev, g_ref, w_ref, b_ref, x_ref, lbuf, cbuf, dbuf)
     L, c, d = lbuf[:], cbuf[:], dbuf[:]
     mask = _ev_mask(ev, EVP, x_ref.dtype)
+    log_rate = jnp.log(b_ref[0])
+    inv_rate = 1.0 / b_ref[0]
     for m in range(M):
-        t = c + (a_ref[m] - 1.0) * L
+        a = a_ref[m]
+        t = c + (a - 1.0) * L
         mx = jnp.max(t, axis=0)
         e = jnp.exp(t - mx)
         s = jnp.sum(e, axis=0)
         inv_s = 1.0 / s
-        pre = (mx + jnp.log(s)) * mask
+        pre = (mx + jnp.log(s) + a * log_rate - _lgamma_stirling(a)) * mask
         out_ref[m] = pre.reshape(pre.shape[0], EVP // LANE, LANE).sum(1)
-        spl_ref[m] = jnp.sum(e * L, axis=0) * inv_s * mask
-        spd_ref[m] = jnp.sum(e * d, axis=0) * inv_s * mask
+        spl_ref[m] = (
+            jnp.sum(e * L, axis=0) * inv_s + log_rate - _digamma_stirling(a)
+        ) * mask
+        spd_ref[m] = (a * inv_rate - jnp.sum(e * d, axis=0) * inv_s) * mask
 
 
 def _sum_call(kernel, n_outs, x2, a3, rate, g, w, ev, TB):
@@ -372,7 +450,7 @@ def _lse_sum_fwd(x2, a3, rate, g, w, ev, TB):
 def _lse_sum_bwd(ev, TB, res, go):
     spl, spd, x2, rate, g, w = res
     da = go[..., None] * spl
-    drate = -(go[..., None] * spd).sum()
+    drate = (go[..., None] * spd).sum()
     return (
         jnp.zeros_like(x2),
         da,
@@ -423,7 +501,9 @@ def offset_gamma_summed_pallas(value, concentration, rate, offset_samples,
             ],
             1,
         )
-    lse_sum = _lse_sum_core(
+    # the kernel output already includes the value-independent Gamma tail
+    # a log b - lgamma(a) per (masked) pixel (Stirling, in-kernel)
+    return _lse_sum_core(
         value,
         concentration,
         jnp.asarray(rate, concentration.dtype),
@@ -432,7 +512,3 @@ def offset_gamma_summed_pallas(value, concentration, rate, offset_samples,
         ev,
         TB,
     )[:, :nb]
-    conc = concentration[:, :nb]
-    mask = (jnp.arange(EVP) < ev).astype(conc.dtype)
-    tail = ((conc * jnp.log(rate) - jax.scipy.special.gammaln(conc)) * mask).sum(-1)
-    return lse_sum + tail

@@ -22,11 +22,16 @@ import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 # NOTE: x64 is NOT enabled globally - with jax_enable_x64 on, weak-type
-# promotion pulls float32 model graphs into float64 on CPU, which is ~100x
-# slower per SVI step (measured: crosstalk 3 it/s vs 338 it/s). Tests that
-# need double precision create models with dtype="double" (Model.__init__
-# flips the flag) or enable it locally; the autouse fixture below restores
-# the flag after every test so it cannot leak into float32 fits.
+# promotion pulls float32 model graphs into float64 on CPU, which is several
+# times slower per SVI step. Tests that need double precision create models
+# with dtype="double" (Model.__init__ flips the flag) or enable it locally;
+# the autouse fixture below restores the flag after every test so it cannot
+# leak into float32 fits.
+#
+# Long fits do NOT belong in this process: one CPU core runs the recovery
+# configs at ~4-7 it/s (the 8-virtual-device backend costs a further ~1.8x).
+# tests/test_recovery.py therefore shells out to recovery_driver.py, which
+# uses the ambient default platform (the real TPU when attached).
 # persistent compilation cache: XLA compiles dominate this suite's runtime
 # (30-60 s/model on CPU); warm re-runs skip them entirely
 jax.config.update(

@@ -211,3 +211,26 @@ def test_gaussian_spots_flat_matches_reshaped():
         np.asarray(flat[..., : P * P]), np.asarray(full), rtol=1e-5, atol=1e-4
     )
     np.testing.assert_array_equal(np.asarray(flat[..., P * P :]), 0.0)
+
+
+def test_stirling_lgamma_digamma_golden():
+    """In-kernel Stirling lgamma/digamma (Mosaic has no lgamma primitive)
+    must match scipy over the realistic concentration range a = mu/gain
+    (roughly [1e-2, 5e3]) and stay accurate down to tiny a."""
+    import scipy.special as sp
+
+    from tapqir_tpu.ops.offset_gamma import _digamma_stirling, _lgamma_stirling
+
+    a = np.concatenate(
+        [np.logspace(-3, 3.7, 3000), np.linspace(0.5, 50.0, 500)]
+    )
+    jax.config.update("jax_enable_x64", True)  # autouse fixture restores
+    lg = np.asarray(_lgamma_stirling(jnp.asarray(a, jnp.float64)))
+    dg = np.asarray(_digamma_stirling(jnp.asarray(a, jnp.float64)))
+    jax.config.update("jax_enable_x64", False)
+    np.testing.assert_allclose(lg, sp.gammaln(a), rtol=0, atol=5e-9)
+    np.testing.assert_allclose(dg, sp.digamma(a), rtol=0, atol=1e-7)
+    # float32 evaluation adds only round-off, not series error
+    lg32 = np.asarray(_lgamma_stirling(jnp.asarray(a, jnp.float32)))
+    rel = np.abs(lg32 - sp.gammaln(a)) / np.maximum(np.abs(sp.gammaln(a)), 1.0)
+    assert rel.max() < 1e-5
