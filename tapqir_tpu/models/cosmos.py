@@ -50,7 +50,7 @@ from tapqir_tpu.distributions.core import (
     halfnormal_log_prob,
 )
 from tapqir_tpu.distributions.ksmogn import offset_gamma_log_prob_summed
-from tapqir_tpu.distributions.util import gaussian_spots
+from tapqir_tpu.distributions.util import gaussian_spots_flat
 from tapqir_tpu.infer.discrete import (
     log_probs_m,
     log_probs_theta,
@@ -180,7 +180,7 @@ class cosmos(Model):
         elementwise, so transform-then-gather == gather-then-transform) -
         transforming the full (K, Nt, F, Q) arrays every step would cost
         ~12M transcendentals + HBM round-trips at production scale."""
-        Nt, F = data["images"].shape[0], data["images"].shape[-1]
+        Nt, F = data["xy"].shape[0], data["xy"].shape[1]
         n = min(self.nbatch_size, Nt)
         f = min(self.fbatch_size, F)
         k_n, k_f, k_global, k_local = jax.random.split(key, 4)
@@ -204,11 +204,13 @@ class cosmos(Model):
 
         Frame batching uses a cyclic contiguous window of ``f_b`` frames
         starting at random offset ``f0`` (uniform inclusion probability, so
-        the subsampled-plate estimator stays unbiased). A random frame
-        *gather* like the reference's plate subsampling would force XLA to
-        relayout-copy the full image stack inside the scan body every step
-        (1 GB/step at eLife scale, profiled); a dynamic-slice window costs
-        nothing."""
+        the subsampled-plate estimator stays unbiased). The (AOI-gather,
+        frame-window) pair is ONE flat row gather with precomputed indices
+        ``ndx * F + (f0 + arange(f_b)) % F`` on a (Nt*F, ...) view: giving
+        the big image parameter a second in-step consumer (a dynamic-slice
+        window after the row gather, or a concat+slice) makes XLA assign it
+        two layouts and relayout-copy the full stack every step (8.7 ms at
+        eLife scale, profiled); the single-gather form costs ~0."""
         S, K, Q = self.S, self.K, self.Q
         P = self.data.P
         dtype = self.dtype
@@ -223,11 +225,31 @@ class cosmos(Model):
                 lkeys[0], lkeys[1], lkeys[2], lkeys[3], gkeys[4]]
 
         # ---- batch gathers (gather unconstrained, then transform) -----------
-        # AOI axis: random row gather (rows are large contiguous blocks -
-        # cheap). Frame axis: cyclic contiguous window via dynamic_slice on
-        # the already-gathered (n, F, ...) arrays.
+        # DATA arrays (no gradient): the (random AOI rows) x (cyclic frame
+        # window) batch is ONE flat row gather - collapse (Nt, F) to a flat
+        # leading axis and gather n*f precomputed indices. A second in-step
+        # access pattern on the big image parameter (slice-after-gather or
+        # concat+slice) splits its XLA layout assignment and relayout-copies
+        # the full stack every step (8.7 ms at eLife scale, profiled).
+        # PARAMETERS keep row-gather + contiguous concat+slice window: their
+        # backward must scatter-add into the full (K, Nt, F, Q) arrays, and
+        # the window form keeps that a dynamic-update-slice per row (~50 us)
+        # instead of an n*f-row scatter (0.2 ms PER PARAMETER, profiled).
         tf = self._transforms
-        F_l = data["images"].shape[-1]
+        F_l = data["xy"].shape[1]
+        n_b = ndx.shape[0]
+        if f_b == F_l:
+            flat_ndx = (
+                ndx[:, None] * F_l + jnp.arange(F_l)[None, :]
+            ).reshape(-1)
+        else:
+            fidx = (f0 + jnp.arange(f_b)) % F_l
+            flat_ndx = (ndx[:, None] * F_l + fidx[None, :]).reshape(-1)
+
+        def g2a(arr):  # raw DATA (Nt, F, ...) -> (n, f, ...)
+            flat = arr.reshape((arr.shape[0] * arr.shape[1],) + arr.shape[2:])
+            sub = jnp.take(flat, flat_ndx, 0)
+            return sub.reshape((n_b, f_b) + arr.shape[2:])
 
         def fwin(sub, axis):  # cyclic window of f_b frames along `axis`
             if f_b == F_l:
@@ -240,19 +262,15 @@ class cosmos(Model):
         def pc(name):  # global parameter -> constrained
             return tf[name](pu[name])
 
-        def g2a(arr):  # raw (Nt, F, ...) -> (n, f, ...)
-            return fwin(jnp.take(arr, ndx, 0), axis=1)
-
         def g2(name):  # (Nt, F, C) -> (n, f, C), constrained
-            return tf[name](g2a(pu[name]))
+            return tf[name](fwin(jnp.take(pu[name], ndx, 0), axis=1))
 
         def gk(name):  # (K, Nt, F, Q) -> (n, f, Q, K), constrained
             sub = fwin(jnp.take(pu[name], ndx, 1), axis=2)
             return tf[name](jnp.moveaxis(sub, 0, -1))
 
-        # images live frame-minor on device: (Nt, C, P, P, F)
-        img_sub = fwin(jnp.take(data["images"], ndx, 0), axis=4)
-        obs = jnp.transpose(img_sub, (0, 4, 1, 2, 3))  # (n, f, C, P, P)
+        # images live flat-lane-padded on device: (Nt, F, C, EVP)
+        obs = g2a(data["images"])  # (n, f, C, EVP)
         target_locs = g2a(data["xy"])  # (n, f, C, 2)
         ont = jnp.take(data["is_ontarget"], ndx)  # (n,)
         mask = jnp.take(data["mask"], ndx)  # (n,)
@@ -426,19 +444,23 @@ class cosmos(Model):
         )
         wq = jnp.exp(log_qm)
 
-        # likelihood per m-config (Q == C for cosmos), computed in a flat
-        # (pixel-major) layout end-to-end so XLA does not relayout-copy the
-        # (M, n, f, C, P, P) image tensor around the kernel (profiled)
-        gauss = gaussian_spots(h, w, xs, ys, target_locs, P)  # (n, f, C, K, P, P)
+        # likelihood per m-config (Q == C for cosmos), in the lane-padded
+        # flat pixel layout end-to-end: the event reduction runs INSIDE the
+        # Pallas kernel (offset_gamma_summed_pallas), so no XLA relayout
+        # loops form around it (profiled)
         n_, f_, C_ = obs.shape[:3]
-        gauss_flat = gauss.reshape(n_ * f_ * C_, K, P * P)
+        ev_pad = obs.shape[-1]
+        gauss = gaussian_spots_flat(
+            h, w, xs, ys, target_locs, P, ev_pad
+        )  # (n, f, C, K, EVP)
+        gauss_flat = gauss.reshape(n_ * f_ * C_, K, ev_pad)
         img_flat = b.reshape(-1)[None, :, None] + jnp.einsum(
             "mk,xkp->mxp", mtab, gauss_flat
-        )  # (M, nfc, P*P)
+        )  # (M, nfc, EVP)
         loglik = offset_gamma_log_prob_summed(
-            obs.reshape(n_ * f_ * C_, P * P), img_flat / gain, 1.0 / gain,
+            obs.reshape(n_ * f_ * C_, ev_pad), img_flat / gain, 1.0 / gain,
             data["offset_samples"], data["offset_logits"],
-            event_ndims=1, use_pallas=self.use_pallas,
+            event_ndims=1, use_pallas=self.use_pallas, ev=P * P,
         ).reshape(mtab.shape[0], n_, f_, C_)  # (M, n, f, C)
 
         return (wq * (inner + term_hw + loglik - log_qm - term_q)).sum(0)  # (n, f, Q)

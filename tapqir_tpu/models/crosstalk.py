@@ -16,7 +16,7 @@ import numpy as np
 from tapqir_tpu import constraints
 from tapqir_tpu.distributions.core import dirichlet_log_prob, dirichlet_sample
 from tapqir_tpu.distributions.ksmogn import offset_gamma_log_prob_summed
-from tapqir_tpu.distributions.util import gaussian_spots
+from tapqir_tpu.distributions.util import gaussian_spots_flat
 from tapqir_tpu.infer.discrete import m_configs
 from tapqir_tpu.models.cosmos import cosmos
 
@@ -120,24 +120,28 @@ class crosstalk(cosmos):
 
         # alpha-mixed likelihood: dye q's spot is rendered in every channel c
         # at that channel's target coordinates (reference: ksmogn.py:95-106,
-        # target_locs unsqueezed over the dye axis), then scaled by alpha[q,c]
-        gauss = gaussian_spots(
-            h[..., None, :], w[..., None, :], xs[..., None, :], ys[..., None, :],
-            target_locs[..., None, :, :], P,
-        )  # (n, f, Q, C, K, P, P)
+        # target_locs unsqueezed over the dye axis), then scaled by alpha[q,c].
+        # Lane-padded flat pixel layout end-to-end with the in-kernel event
+        # reduction (see cosmos); channels are batch rows for the kernel and
+        # the (C,) partials are summed afterwards to the (C, P, P) event sum.
         n_, f_ = obs.shape[:2]
-        gauss_flat = gauss.reshape(n_ * f_, Q, C, K, P * P)
+        ev_pad = obs.shape[-1]
+        gauss = gaussian_spots_flat(
+            h[..., None, :], w[..., None, :], xs[..., None, :], ys[..., None, :],
+            target_locs[..., None, :, :], P, ev_pad,
+        )  # (n, f, Q, C, K, EVP)
+        gauss_flat = gauss.reshape(n_ * f_, Q, C, K, ev_pad)
         img_flat = b.reshape(n_ * f_, C, 1) + jnp.einsum(
             "gqk,qc,xqckp->gxcp", mtab_full, alpha, gauss_flat
-        )  # (Mf, nf, C, P*P)
+        )  # (Mf, nf, C, EVP)
         Mf = mtab_full.shape[0]
         loglik = offset_gamma_log_prob_summed(
-            obs.reshape(n_ * f_, C * P * P),
-            img_flat.reshape(Mf, n_ * f_, C * P * P) / gain,
+            obs.reshape(n_ * f_ * C, ev_pad),
+            img_flat.reshape(Mf, n_ * f_ * C, ev_pad) / gain,
             1.0 / gain,
             data["offset_samples"], data["offset_logits"],
-            event_ndims=1, use_pallas=self.use_pallas,
-        ).reshape(Mf, n_, f_)  # event dims (C, P, P)
+            event_ndims=1, use_pallas=self.use_pallas, ev=P * P,
+        ).reshape(Mf, n_, f_, C).sum(-1)  # event dims (C, P, P)
 
         local = (
             wq * (inner_g + term_hw_g + loglik - log_qm_g - term_q_g)

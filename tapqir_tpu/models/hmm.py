@@ -70,9 +70,6 @@ class hmm(cosmos):
     # batch on every frame shard of a mesh row and run the chain terms with
     # cross-shard boundary exchange (see elbo / parallel/sharding.py)
     frame_coupled = True
-    # device image stack is lane-padded flat (Nt, F, C, EVP), not the
-    # cosmos frame-minor layout (see _device_image_stack)
-    flat_padded_images = True
 
     def __init__(self, S=1, K=2, device=None, dtype="float32",
                  use_pallas=None, vectorized=True, priors=None):
@@ -119,29 +116,6 @@ class hmm(cosmos):
         for name in ("init_mean", "init_size", "trans_mean", "trans_size"):
             spec[name] = P()
         return spec
-
-    def _device_image_stack(self):
-        """Lane-padded flat stack (Nt, F, C, EVP = ceil(P*P/128)*128).
-
-        The hmm consumes EVERY frame of its AOI batch (no frame window), so
-        a plain row gather in this layout feeds the in-kernel-reduced
-        likelihood (offset_gamma_summed_pallas) with zero relayouts -
-        measured 14% faster per step than the dense path at eLife scale.
-        The cosmos/crosstalk window path keeps the frame-minor dense layout
-        instead: its gather+window chain makes XLA re-lay a padded stack
-        with a full-array copy every step (profiled). Padded pixels hold
-        offset.max + 1 so their (masked-out) Gamma log-probs stay finite."""
-        d = self.data
-        Nt, F, C, P = d.Nt, d.F, d.C, d.P
-        ev = P * P
-        ev_pad = -(-ev // 128) * 128
-        imgs = np.asarray(d.images, np.float64).reshape(Nt, F, C, ev)
-        if ev_pad > ev:
-            pad_val = float(np.max(np.asarray(d.offset.samples))) + 1.0
-            imgs = np.concatenate(
-                [imgs, np.full((Nt, F, C, ev_pad - ev), pad_val)], axis=-1
-            )
-        return imgs
 
     def _log_feasible_m(self, dtype):
         """(M, 1+S) log-mask of feasible m-configs given z: z > 0 requires at

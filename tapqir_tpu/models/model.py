@@ -138,16 +138,29 @@ class Model:
             self.summary = pd.read_csv(summary_path, index_col=0)
 
     def _device_image_stack(self):
-        """Device layout of the image stack; overridden by models that use
-        the lane-padded flat pipeline (hmm). Default: frame-minor
-        (Nt, C, P, P, F) - XLA's layout assignment wants the frame axis
-        minor for the in-loop AOI gather + frame window (avoids a full-array
-        relayout copy, 1 GB/step at eLife scale)."""
-        return np.ascontiguousarray(
-            np.transpose(self.data.images, (0, 2, 3, 4, 1))
-        )
+        """Lane-padded flat device stack (Nt, F, C, EVP = ceil(P*P/128)*128).
+
+        Every model feeds the in-kernel-reduced likelihood
+        (offset_gamma_summed_pallas), which consumes flat pixel rows whose
+        trailing axis is a multiple of 128 lanes; building that layout once
+        on the host means the per-step batch extraction is a plain row
+        gather (+ a frame dynamic-slice for the windowed models) with zero
+        XLA relayouts. Padded pixels hold offset.max + 1 so their
+        (masked-out) Gamma log-probs stay finite."""
+        d = self.data
+        Nt, F, C, P = d.Nt, d.F, d.C, d.P
+        ev = P * P
+        ev_pad = -(-ev // 128) * 128
+        imgs = np.asarray(d.images, np.float64).reshape(Nt, F, C, ev)
+        if ev_pad > ev:
+            pad_val = float(np.max(np.asarray(d.offset.samples))) + 1.0
+            imgs = np.concatenate(
+                [imgs, np.full((Nt, F, C, ev_pad - ev), pad_val)], axis=-1
+            )
+        return imgs
 
     def _data_device_arrays(self):
+        """Device-resident dataset arrays."""
         d = self.data
         dt = self.dtype
         arrays = dict(

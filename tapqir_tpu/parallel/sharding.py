@@ -39,19 +39,15 @@ def make_mesh(n_aoi: int, n_frame: int = 1, devices=None) -> Mesh:
     return Mesh(grid, ("aoi", "frame"))
 
 
-def data_partition(images_ndim: int = 5) -> dict:
+def data_partition() -> dict:
     """PartitionSpecs for the device-resident dataset arrays.
 
-    The image-stack spec depends on the model's device layout: frame-minor
-    dense (Nt, C, P, P, F) for cosmos/crosstalk, lane-padded flat
-    (Nt, F, C, EVP) for hmm (Model._device_image_stack)."""
-    images_spec = (
-        P("aoi", None, None, None, "frame")
-        if images_ndim == 5
-        else P("aoi", "frame", None, None)
-    )
+    All models use the lane-padded flat image layout (Nt, F, C, EVP)
+    (Model._device_image_stack); the sharded path always uses the
+    UNEXTENDED stack (no cyclic frame extension), which the model ELBOs
+    detect from the array shapes."""
     return {
-        "images": images_spec,
+        "images": P("aoi", "frame", None, None),
         "xy": P("aoi", "frame"),
         "is_ontarget": P("aoi"),
         "mask": P("aoi"),
@@ -62,7 +58,7 @@ def data_partition(images_ndim: int = 5) -> dict:
 
 def shard_params_and_data(mesh, params, param_specs, data, data_specs=None):
     """Place params/data on the mesh with their PartitionSpecs."""
-    data_specs = data_specs or data_partition(data["images"].ndim)
+    data_specs = data_specs or data_partition()
     params_sh = {
         k: jax.device_put(v, NamedSharding(mesh, param_specs[k]))
         for k, v in params.items()
@@ -82,9 +78,7 @@ def make_sharded_grads_fn(model, mesh):
     axes the corresponding parameter is replicated over.
     """
     param_specs = model.param_partition()
-    data_specs = data_partition(
-        4 if getattr(model, "flat_padded_images", False) else 5
-    )
+    data_specs = data_partition()
     n_shards = mesh.devices.size
     frame_shards = int(mesh.shape["frame"])
     axes = ("aoi", "frame")

@@ -21,6 +21,7 @@ import itertools
 import math
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 import scipy.stats as st
@@ -345,6 +346,43 @@ def test_cosmos_elbo_matches_naive_full_batch(cosmos_f64):
         np.testing.assert_allclose(got, want, rtol=1e-6)
     finally:
         model.nbatch_size, model.fbatch_size = 2, 4
+
+
+def test_cosmos_flat_window_gather_is_cyclic(cosmos_f64):
+    """The flat-index batch gather (ndx * F + (f0 + arange(f)) % F) must
+    select exactly the cyclic frame window: an f0 near the end of the frame
+    axis wraps around to frame 0, and the ELBO equals the one computed from
+    a manually rolled dataset whose frame axis starts at f0."""
+    model = cosmos_f64
+    F, fb = model.data.F, model.fbatch_size
+    assert fb < F, "fixture must subsample frames for this test"
+    data = model._data_dev
+    # roll every frame-indexed array so that frame f0 becomes frame 0; with
+    # the SAME ndx, window f0 on the original == window 0 on the rolled
+    terms = model._elbo_terms
+    ndx = jnp.arange(min(model.nbatch_size, model.data.Nt))
+    kg, kl = jax.random.PRNGKey(1), jax.random.PRNGKey(2)
+    # frame axis position per cosmos parameter: (Nt, F, C) vs (K, Nt, F, Q)
+    frame_axis = {"b_loc": 1, "b_beta": 1}
+    frame_axis.update(dict.fromkeys(
+        ("m_probs", "h_loc", "h_beta", "w_mean", "w_size",
+         "x_mean", "y_mean", "size"), 2,
+    ))
+    for f0 in (0, F - 1, F - fb + 1):
+        rolled = dict(data)
+        rolled["images"] = jnp.roll(data["images"], -f0, axis=1)
+        rolled["xy"] = jnp.roll(data["xy"], -f0, axis=1)
+        pu_roll = {
+            k: jnp.roll(v, -f0, axis=frame_axis[k]) if k in frame_axis else v
+            for k, v in model.params.items()
+        }
+        a = terms(model.params, kg, kl, ndx, jnp.asarray(f0), fb, data)
+        b = terms(pu_roll, kg, kl, ndx, jnp.asarray(0), fb, rolled)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(
+                np.asarray(x).sum(), np.asarray(y).sum(), rtol=1e-9,
+                err_msg=f"f0={f0}",
+            )
 
 
 def test_cosmos_elbo_naive_detects_likelihood_miscalibration(cosmos_f64):
