@@ -2,10 +2,17 @@
 
 This is the TPU-native replacement for the reference's L0/L1 distribution
 substrate (torch.distributions + pyro.distributions). Every sampler is
-reparameterized (pathwise-differentiable): ``jax.random.gamma`` /
-``jax.random.beta`` / ``jax.random.dirichlet`` implement implicit
-reparameterization in XLA, matching torch's ``rsample`` semantics that the
-reference's SVI relies on.
+reparameterized (pathwise-differentiable) via implicit reparameterization
+(:func:`jax.lax.random_gamma_grad`), matching torch's ``rsample`` semantics
+that the reference's SVI relies on.
+
+Gamma-family draws (Gamma/Beta/AffineBeta/Dirichlet) go through
+:func:`std_gamma_sample`, a Marsaglia-Tsang sampler with a FIXED number of
+unrolled proposals instead of ``jax.random.gamma``'s rejection while_loop.
+On TPU the while_loop serializes ~20 tiny dispatch-latency-bound iterations
+per draw call inside every SVI step (~0.5-1 ms/step at eLife scale,
+profiled); the unrolled form is branch-free straight-line VPU code that XLA
+fuses away.
 
 Parameterizations follow the reference exactly:
 
@@ -20,6 +27,68 @@ import math
 import jax
 import jax.numpy as jnp
 from jax.scipy.special import digamma, gammaln, xlogy
+
+# ---------------------------------------------------------------------------
+# Standard Gamma sampler (fixed-unroll Marsaglia-Tsang, implicit reparam)
+# ---------------------------------------------------------------------------
+
+# Marsaglia-Tsang accepts each proposal with probability >= 0.951 (worst at
+# concentration 1 after the a<1 boost), so P(all rejected) < 0.049^6 ~ 1.4e-8
+# per element; the fallback (last proposal, clamped positive) is statistically
+# invisible at that rate. 6 proposals of straight-line math cost far less
+# than one serialized while_loop iteration's dispatch latency on TPU.
+_MT_TRIES = 6
+
+
+@jax.custom_jvp
+def std_gamma_sample(key, conc):
+    """z ~ Gamma(conc, 1), shape = conc.shape, branch-free (no while_loop).
+
+    Marsaglia & Tsang (2000): for a >= 1 draw x ~ N(0,1), v = (1 + c x)^3
+    with d = a - 1/3, c = 1/sqrt(9d), accept v > 0 with
+    log u < x^2/2 + d - d v + d log v, return d v. For a < 1 sample
+    Gamma(a + 1) and multiply by u2^(1/a) (boost), in log space.
+    """
+    conc = jnp.asarray(conc)
+    dtype = conc.dtype
+    shape = conc.shape
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+    k_n, k_u, k_b = jax.random.split(key, 3)
+    a = jnp.maximum(conc, tiny)
+    boosted = a < 1.0
+    a1 = jnp.where(boosted, a + 1.0, a)
+    d = a1 - 1.0 / 3.0
+    c = 1.0 / jnp.sqrt(9.0 * d)
+    x = jax.random.normal(k_n, (_MT_TRIES,) + shape, dtype)
+    u = jax.random.uniform(k_u, (_MT_TRIES,) + shape, dtype, minval=tiny)
+    v = (1.0 + c * x) ** 3
+    ok = (v > 0.0) & (
+        jnp.log(u)
+        < 0.5 * x * x + d * (1.0 - v + jnp.log(jnp.maximum(v, tiny)))
+    )
+    # select the FIRST accepted proposal with an unrolled where-chain: an
+    # argmax + take_along_axis gather over the try axis costs ~0.5 ms at
+    # 61k draws on TPU (cross-sublane dynamic gather, measured) vs ~us for
+    # the selects; fall back to the last proposal if none accepted
+    v_sel = v[_MT_TRIES - 1]
+    for j in range(_MT_TRIES - 2, -1, -1):
+        v_sel = jnp.where(ok[j], v[j], v_sel)
+    z = d * jnp.maximum(v_sel, tiny)
+    u2 = jax.random.uniform(k_b, shape, dtype, minval=tiny)
+    z = jnp.where(boosted, z * jnp.exp(jnp.log(u2) / a), z)
+    return jnp.maximum(z, tiny)
+
+
+@std_gamma_sample.defjvp
+def _std_gamma_sample_jvp(primals, tangents):
+    """Implicit reparameterization (Figurnov et al. 2018), the same gradient
+    jax.random.gamma uses: dz/da = -dF/da / f(z) via lax.random_gamma_grad."""
+    key, conc = primals
+    _, dconc = tangents
+    z = std_gamma_sample(key, conc)
+    dz = jax.lax.random_gamma_grad(jnp.asarray(conc), z) * dconc
+    return z, dz
+
 
 # ---------------------------------------------------------------------------
 # Gamma (concentration/rate)
@@ -38,7 +107,11 @@ def gamma_log_prob(x, concentration, rate):
 def gamma_sample(key, concentration, rate, shape=None):
     if shape is None:
         shape = jnp.broadcast_shapes(jnp.shape(concentration), jnp.shape(rate))
-    g = jax.random.gamma(key, concentration, shape=shape)
+    conc = jnp.broadcast_to(
+        jnp.asarray(concentration, jnp.result_type(concentration, float)),
+        shape,
+    )
+    g = std_gamma_sample(key, conc)
     return g / rate
 
 
@@ -105,7 +178,15 @@ def beta_log_prob(x, c1, c0):
 def beta_sample(key, c1, c0, shape=None):
     if shape is None:
         shape = jnp.broadcast_shapes(jnp.shape(c1), jnp.shape(c0))
-    return jax.random.beta(key, c1, c0, shape=shape)
+    dt = jnp.result_type(c1, c0, float)
+    conc = jnp.stack(
+        [
+            jnp.broadcast_to(jnp.asarray(c1, dt), shape),
+            jnp.broadcast_to(jnp.asarray(c0, dt), shape),
+        ]
+    )
+    g = std_gamma_sample(key, conc)
+    return g[0] / (g[0] + g[1])
 
 
 # ---------------------------------------------------------------------------
@@ -148,9 +229,9 @@ def affine_beta_mean(mean, sample_size, low, high):
 def affine_beta_sample_stacked(key, means, sizes, lows, highs):
     """Sample several AffineBeta sites with ONE batched gamma call.
 
-    Each gamma rejection sampler compiles to its own while_loop with fixed
-    per-call overhead; stacking the concentrations of all sites (and both
-    Beta gammas) into a single ``jax.random.gamma`` amortizes it.
+    Stacking the concentrations of all sites (and both Beta gammas) into a
+    single :func:`std_gamma_sample` call keeps the per-step sampling one
+    fused batch of straight-line VPU code.
 
     :param means/sizes: lists of per-site parameter arrays (same shape).
     :param lows/highs: per-site scalars.
@@ -163,7 +244,7 @@ def affine_beta_sample_stacked(key, means, sizes, lows, highs):
         c1s.append(jnp.broadcast_to(c1, jnp.shape(size)))
         c0s.append(jnp.broadcast_to(c0, jnp.shape(size)))
     conc = jnp.stack(c1s + c0s)  # (2 * n_sites, ...)
-    g = jax.random.gamma(key, conc)
+    g = std_gamma_sample(key, conc)
     out = []
     for i, (low, high) in enumerate(zip(lows, highs)):
         u = g[i] / (g[i] + g[i + n_sites])
@@ -189,7 +270,12 @@ def dirichlet_log_prob(x, concentration):
 def dirichlet_sample(key, concentration, shape=None):
     if shape is None:
         shape = jnp.shape(concentration)[:-1]
-    out = jax.random.dirichlet(key, concentration, shape=shape)
+    conc = jnp.broadcast_to(
+        jnp.asarray(concentration, jnp.result_type(concentration, float)),
+        shape + jnp.shape(concentration)[-1:],
+    )
+    g = std_gamma_sample(key, conc)
+    out = g / g.sum(-1, keepdims=True)
     eps = jnp.finfo(out.dtype).eps
     out = jnp.clip(out, eps, 1.0)
     return out / out.sum(-1, keepdims=True)
