@@ -405,3 +405,111 @@ def test_sharded_train_step_hmm_frame_mesh():
     assert trim(params2["z_trans"].sharding.spec) == trim(
         params_sh["z_trans"].sharding.spec
     ) == ("aoi", "frame")
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_restarts_match_single_device_vmap():
+    """Mesh-sharded batched restarts optimize the same objective as the
+    single-device vmapped implementation (parallel/restarts.py): after the
+    same iteration budget on the same model, the winning chains' trailing
+    losses agree to MC tolerance. Also checks chain independence and that
+    the selected params come back as a plain (unstacked) sharded pytree."""
+    from tapqir_tpu.parallel.restarts import fit_restarts
+    from tapqir_tpu.parallel.sharding import fit_restarts_sharded
+
+    R, iters = 3, 150
+
+    model_s = _model(Nt=8, F=8)
+    model_s.tx = optax.adam(0.005)
+    model_s.lr = 0.005
+    mesh = make_mesh(4, 2)
+    losses_sh, best_sh = fit_restarts_sharded(
+        model_s, mesh, num_restarts=R, num_iter=iters, chunk=50,
+        perturb=0.05, key=jax.random.PRNGKey(11),
+    )
+    assert losses_sh.shape == (R, iters)
+    assert np.isfinite(losses_sh).all()
+    tail = max(1, min(50, iters // 10))
+    assert best_sh == int(np.argmin(losses_sh[:, -tail:].mean(1)))
+    # perturbed chains must actually differ
+    assert np.abs(losses_sh[0] - losses_sh[1]).max() > 0
+    # winning params are a single (unstacked) pytree usable for further steps
+    assert model_s.params["b_loc"].shape == (
+        model_s.data.Nt, model_s.data.F, model_s.data.C
+    )
+
+    model_v = _model(Nt=8, F=8)
+    model_v.tx = optax.adam(0.005)
+    model_v.lr = 0.005
+    losses_v, best_v = fit_restarts(
+        model_v, num_restarts=R, num_iter=iters, chunk=50,
+        perturb=0.05, key=jax.random.PRNGKey(11),
+    )
+    # same objective, same budget: winning trailing losses agree to MC noise
+    a = losses_sh[best_sh, -tail:].mean()
+    b = losses_v[best_v, -tail:].mean()
+    np.testing.assert_allclose(a, b, rtol=0.05)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_probs_match_single_device_blocks():
+    """Mesh-sharded posterior marginals must equal the same per-shard blocks
+    computed on one device with the same folded keys (float64, exact)."""
+    from tapqir_tpu.parallel.sharding import (
+        data_partition,
+        make_sharded_probs_fn,
+    )
+
+    data = simulate("cosmos", N=8, F=8, C=1, P=14, seed=3, params=PARAMS)
+    model = models["cosmos"](dtype="double")
+    model.data = data
+    model.nbatch_size = 2
+    model.fbatch_size = 4
+    model.init_parameters()
+    model._data_dev = model._data_device_arrays()
+
+    mesh = make_mesh(4, 2)
+    probs_fn = make_sharded_probs_fn(model, mesh, num_particles=3)
+    params_sh, data_sh = shard_params_and_data(
+        mesh, model.params, model.param_partition(), model._data_dev
+    )
+    key = jax.random.PRNGKey(5)
+    z_sh, th_sh = jax.jit(probs_fn)(params_sh, key, data_sh)
+    z_sh, th_sh = np.asarray(z_sh), np.asarray(th_sh)
+    assert z_sh.shape == (8, 8, 1, 2)
+
+    # emulate shard-by-shard on one device
+    import jax.numpy as jnp
+
+    constrained = {k: model._transforms[k](v) for k, v in model.params.items()}
+    specs = data_partition()
+    for ai in range(4):
+        for fi in range(2):
+            nsl = slice(ai * 2, ai * 2 + 2)
+            fsl = slice(fi * 4, fi * 4 + 4)
+            dloc = dict(model._data_dev)
+            dloc["images"] = dloc["images"][nsl, fsl]
+            dloc["xy"] = dloc["xy"][nsl, fsl]
+            dloc["is_ontarget"] = dloc["is_ontarget"][nsl]
+            dloc["mask"] = dloc["mask"][nsl]
+            ploc = {}
+            for k, v in constrained.items():
+                spec = model.param_partition()[k]
+                idx = [slice(None)] * v.ndim
+                for d, ax in enumerate(spec):
+                    if ax == "aoi":
+                        idx[d] = nsl
+                    elif ax == "frame":
+                        idx[d] = fsl
+                ploc[k] = v[tuple(idx)]
+            kloc = jax.random.fold_in(key, ai * 2 + fi)
+            z_p, th_p = model._probs_batch(
+                ploc, kloc, jnp.arange(2), jnp.arange(4), dloc, 3
+            )
+            z_want = np.transpose(np.asarray(z_p), (1, 2, 3, 0))
+            ont = np.asarray(dloc["is_ontarget"], np.float64)
+            z_want = z_want * ont[:, None, None, None]
+            np.testing.assert_allclose(
+                z_sh[nsl, fsl], z_want, rtol=1e-12,
+                err_msg=f"shard ({ai},{fi})",
+            )
