@@ -180,6 +180,72 @@ class AoiViewerState:
         )
 
 
+class FovViewerState:
+    """Headless controller for the per-dtype FOV AOI-overlay toggles
+    (reference: showAOIs + the per-dtype "Show {dtype} AOIs" checkboxes,
+    tapqir/gui.py:683-705): one toggle per AOI dtype (ontarget /
+    offtarget / offset region) controls which rectangle overlays are drawn
+    on the raw field-of-view frame."""
+
+    def __init__(self, channel_config, P, c=0):
+        from tapqir_tpu.imscroll.glimpse_reader import GlimpseDataset
+
+        self.fov = GlimpseDataset(c=c, **channel_config)
+        self.P = int(P)
+        self.show = {d: True for d in self.fov.dtypes}
+        self.show["offset"] = False
+        self.frame = 0
+
+    def toggle(self, dtype: str, value=None) -> bool:
+        cur = self.show[dtype]
+        self.show[dtype] = (not cur) if value is None else bool(value)
+        return self.show[dtype]
+
+    @property
+    def visible_dtypes(self):
+        return [d for d, v in self.show.items() if v]
+
+    def set_frame(self, f: int) -> int:
+        self.frame = int(np.clip(f, 0, self.fov.F - 1))
+        return self.frame
+
+    def render(self, ax=None):
+        """Draw the FOV frame with the enabled overlays (GlimpseDataset.plot
+        draws the rectangles; the offset region uses its own P)."""
+        self.fov.plot(
+            tuple(self.visible_dtypes), self.P, f=self.frame, ax=ax,
+            title=f"Frame index {self.frame}",
+        )
+
+
+def build_fov_state(cd, c=0):
+    """FovViewerState from a workspace's persisted config.yaml channels, or
+    None when the workspace has no glimpse configuration (e.g. datasets
+    imported directly as data.tpqr)."""
+    import yaml
+
+    cfg_path = Path(cd) / ".tapqir" / "config.yaml"
+    if not cfg_path.is_file():
+        return None
+    cfg = yaml.safe_load(cfg_path.read_text()) or {}
+    channels = cfg.get("channels") or []
+    if c >= len(channels) or not channels[c].get("glimpse-folder"):
+        return None
+    merged = {
+        k: v
+        for k, v in cfg.items()
+        if k
+        in ("use-offtarget", "offset-x", "offset-y", "frame-range",
+            "frame-start", "frame-end", "labels")
+    }
+    merged.update(channels[c])
+    try:
+        return FovViewerState(merged, P=cfg.get("P", 14), c=c)
+    except Exception as err:  # missing/renamed raw files: degrade gracefully
+        logger.warning(f"FOV viewer unavailable: {err}")
+        return None
+
+
 # ---------------------------------------------------------------------------
 # rendering
 # ---------------------------------------------------------------------------
@@ -655,7 +721,113 @@ def _view_tab(out, cd):
         holder.children = [browser]
 
     return widgets.VBox(
-        [widgets.HBox([model, _run_button("Load results", out, load)]), holder]
+        [
+            widgets.HBox([model, _run_button("Load results", out, load)]),
+            holder,
+            _fov_controls(out, cd),
+        ]
+    )
+
+
+def _fov_controls(out, cd):
+    """Field-of-view panel with per-dtype AOI-overlay toggles
+    (reference: tapqir/gui.py:683-705)."""
+    import ipywidgets as widgets
+
+    fig_out = widgets.Output()
+    holder = widgets.VBox([])
+
+    def load_fov():
+        state = build_fov_state(cd)
+        if state is None:
+            with out:
+                print(
+                    "No glimpse configuration in config.yaml - the FOV view "
+                    "needs the raw glimpse files ('tapqir glimpse' inputs)."
+                )
+            return
+        frame_box = widgets.BoundedIntText(
+            value=0, min=0, max=state.fov.F - 1, description="Frame"
+        )
+        boxes = []
+
+        def redraw():
+            import matplotlib.pyplot as plt
+
+            fig_out.outputs = ()
+            with fig_out:
+                fig = plt.figure(
+                    figsize=(8, 8 * state.fov.height / state.fov.width)
+                )
+                state.render(ax=fig.add_subplot(1, 1, 1))
+                from IPython.display import display
+
+                display(fig)
+                plt.close(fig)
+
+        def on_toggle(dtype):
+            def cb(change):
+                state.toggle(dtype, change["new"])
+                redraw()
+            return cb
+
+        for dtype in state.show:
+            cb_w = widgets.Checkbox(
+                value=state.show[dtype],
+                description=f"Show {dtype} AOIs",
+                indent=False,
+            )
+            cb_w.observe(on_toggle(dtype), names="value")
+            boxes.append(cb_w)
+
+        def on_frame(change):
+            state.set_frame(change["new"])
+            redraw()
+
+        frame_box.observe(on_frame, names="value")
+        holder.children = [widgets.HBox([frame_box] + boxes), fig_out]
+        redraw()
+
+    return widgets.Accordion(
+        children=[
+            widgets.VBox(
+                [_run_button("Load field of view", out, load_fov), holder]
+            )
+        ],
+        titles=("Field of view (AOI overlays)",),
+        selected_index=None,
+    )
+
+
+def _tensorboard_tab(cd):
+    """TensorBoard tab (reference: tapqir/gui.py:154-215): embed a
+    TensorBoard instance on the fit logs when the package is importable,
+    otherwise show the manual command."""
+    import ipywidgets as widgets
+
+    logdir = Path(cd) / ".tapqir" / "logs"
+    info = widgets.Label(
+        value=(
+            f'Manual alternative: run "tensorboard --logdir {logdir}" in a '
+            'terminal and open localhost:6006'
+        )
+    )
+    tb_out = widgets.Output()
+
+    def launch():
+        tb_out.outputs = ()
+        with tb_out:
+            try:
+                from tensorboard import notebook
+
+                notebook.start(f"--logdir '{logdir}'")
+                notebook.display(height=800)
+            except Exception as err:
+                print(f"TensorBoard embed unavailable ({err}).")
+                print(f'Run "tensorboard --logdir {logdir}" manually.')
+
+    return widgets.VBox(
+        [_run_button("Launch TensorBoard", tb_out, launch), info, tb_out]
     )
 
 
@@ -741,13 +913,14 @@ def build_app(cd):
             _glimpse_tab(out),
             _fit_tab(out),
             _view_tab(out, cd),
+            _tensorboard_tab(cd),
             _post_tab(out),
             _log_tab(cd),
         ]
     )
     for i, title in enumerate(
-        ["Extract AOIs", "Fit the data", "View results", "Post analysis",
-         "View logs"]
+        ["Extract AOIs", "Fit the data", "View results", "Tensorboard",
+         "Post analysis", "View logs"]
     ):
         tab.set_title(i, title)
     wd = widgets.Label(value=f"Working directory: {cd}")

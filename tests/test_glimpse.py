@@ -163,3 +163,53 @@ def test_native_decoder_matches_numpy(glimpse_dir):
     crops = glimpse_native.crop_aois(frames[0], [5, 20], [3, 10], 14)
     np.testing.assert_array_equal(crops[0], frames[0][3:17, 5:19])
     np.testing.assert_array_equal(crops[1], frames[0][10:24, 20:34])
+
+
+def test_fov_viewer_state_toggles_and_renders(glimpse_dir):
+    """Headless FOV overlay controller (reference gui.py:683-705): per-dtype
+    toggles select the rectangle overlays; render draws without error."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from tapqir_tpu.gui import FovViewerState
+
+    tmp_path, gdir = glimpse_dir
+    cfg = _config(tmp_path, gdir)
+    merged = {k: v for k, v in cfg.items() if k not in
+              ("P", "num-channels", "dataset", "offset-P", "bin-size",
+               "channels")}
+    merged.update(cfg["channels"][0])
+    state = FovViewerState(merged, P=cfg["P"])
+    assert state.show == {"ontarget": True, "offtarget": True, "offset": False}
+    assert state.visible_dtypes == ["ontarget", "offtarget"]
+    assert state.toggle("offtarget") is False
+    assert state.toggle("offset", True) is True
+    assert state.visible_dtypes == ["ontarget", "offset"]
+    assert state.set_frame(99) == state.fov.F - 1  # clamped
+    fig = plt.figure()
+    state.render(ax=fig.add_subplot(1, 1, 1))
+    plt.close(fig)
+
+
+def test_build_fov_state_from_workspace(glimpse_dir, tmp_path):
+    """build_fov_state reads the persisted config.yaml; returns None when
+    the workspace has no glimpse configuration."""
+    import yaml
+
+    from tapqir_tpu.gui import build_fov_state
+
+    src_tmp, gdir = glimpse_dir
+    cd = tmp_path / "ws"
+    (cd / ".tapqir").mkdir(parents=True)
+    with open(cd / ".tapqir" / "config.yaml", "w") as f:
+        yaml.dump(_config(src_tmp, gdir), f)
+    state = build_fov_state(cd)
+    assert state is not None
+    assert state.fov.N == 2 and state.fov.F == 6
+
+    empty = tmp_path / "empty"
+    (empty / ".tapqir").mkdir(parents=True)
+    (empty / ".tapqir" / "config.yaml").write_text("P: 14\n")
+    assert build_fov_state(empty) is None

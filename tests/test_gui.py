@@ -169,3 +169,28 @@ def test_build_browser_widgets_headless(fitted):
     assert excl.value is True
     excl.value = False
     assert not state.is_excluded(0)
+
+
+def test_build_app_has_tensorboard_tab(fitted):
+    pytest.importorskip("ipywidgets")
+    from tapqir_tpu.gui import build_app
+
+    root = build_app(fitted)
+    tab = root.children[1]
+    titles = [tab.get_title(i) for i in range(len(tab.children))]
+    assert titles == [
+        "Extract AOIs", "Fit the data", "View results", "Tensorboard",
+        "Post analysis", "View logs",
+    ]
+    # the tensorboard tab carries the manual-command fallback label
+    def find(widget, pred, acc):
+        if pred(widget):
+            acc.append(widget)
+        for child in getattr(widget, "children", ()):
+            find(child, pred, acc)
+        return acc
+
+    tb = tab.children[3]
+    labels = find(tb, lambda w: "tensorboard --logdir" in str(
+        getattr(w, "value", "")), [])
+    assert labels, "TensorBoard tab is missing the manual-command fallback"
