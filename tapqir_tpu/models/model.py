@@ -292,6 +292,8 @@ class Model:
         pbar_iter = iter(pbar)
         consecutive_failures = 0
 
+        full_every = max(1, int(getattr(self, "full_checkpoint_every", 1)))
+        n_ckpts = 0
         while remaining > 0:
             chunk = min(
                 getattr(self, "checkpoint_interval", CHECKPOINT_INTERVAL),
@@ -315,9 +317,17 @@ class Model:
                     next(pbar_iter, None)
                 if hasattr(pbar, "set_postfix"):
                     pbar.set_postfix({"-ELBO": f"{self.iter_loss:.1f}"})
-                self.save_checkpoint()
+                n_ckpts += 1
+                save_full = (
+                    full_every == 1
+                    or n_ckpts % full_every == 0
+                    or remaining == 0
+                )
+                self.save_checkpoint(save_full=save_full)
                 consecutive_failures = 0
                 if use_crit and self.converged:
+                    if not save_full:
+                        self.save_checkpoint()
                     logger.info(f"Iteration #{self.iter} model converged.")
                     break
             except ValueError as err:
@@ -367,30 +377,43 @@ class Model:
                 names.append(name)
         return names
 
-    def save_checkpoint(self, writer=None):
+    def save_checkpoint(self, writer=None, save_full=True):
         """Checkpoint params + optimizer + convergence state
         (reference: model.py:239-323).
 
         Everything needed on the host - the finite-check verdict, small
         constrained params for the convergence series, and the full
         unconstrained state - is fetched in ONE batched device_get: per-array
-        transfers pay a round-trip each over remote-device transports."""
+        transfers pay a round-trip each over remote-device transports.
+
+        ``save_full=False`` runs only the cheap part (finite check, rolling
+        convergence series, metrics log) and skips the full-state fetch +
+        npz write - at production scale the full unconstrained state is
+        tens of MB, which costs seconds per checkpoint through a remote
+        device transport (axon tunnel: ~15 MB/s). ``Model.run`` passes this
+        per ``model.full_checkpoint_every`` and always writes a full
+        checkpoint at convergence/completion."""
         small = self._small_params()
         adam_state = self.opt_state[0]
         finite = jnp.array(
             [jnp.isfinite(v).all() for v in self.params.values()]
         )
-        host = jax.device_get(
-            (
-                finite,
-                {n: self._transforms[n](self.params[n]) for n in small},
-                self.params,
-                adam_state.mu,
-                adam_state.nu,
-                adam_state.count,
+        if save_full:
+            host = jax.device_get(
+                (
+                    finite,
+                    {n: self._transforms[n](self.params[n]) for n in small},
+                    self.params,
+                    adam_state.mu,
+                    adam_state.nu,
+                    adam_state.count,
+                )
             )
-        )
-        finite_h, small_h, params_h, mu_h, nu_h, count_h = host
+            finite_h, small_h, params_h, mu_h, nu_h, count_h = host
+        else:
+            finite_h, small_h = jax.device_get(
+                (finite, {n: self._transforms[n](self.params[n]) for n in small})
+            )
 
         # NaN guard (reference: model.py:246-250)
         for ok, k in zip(finite_h, self.params):
@@ -425,6 +448,11 @@ class Model:
             )
             if crit:
                 self.converged = True
+
+        if not save_full:
+            self._log_metrics(small_h)
+            logger.debug(f"Iteration #{self.iter}: Successful (light ckpt).")
+            return
 
         # serialize
         self.run_path.mkdir(parents=True, exist_ok=True)
