@@ -168,13 +168,16 @@ class cosmos(Model):
         return spec
 
     # -- ELBO -----------------------------------------------------------------
-    def elbo(self, params_u, key, data, n_shards=1, frame_shards=1):
+    def elbo(self, params_u, key, data, n_shards=1, frame_shards=1,
+             return_batch=False):
         """Minibatch ELBO from UNCONSTRAINED parameters. ``data`` arrays may
         be a local shard (inside shard_map); sizes are taken from the arrays
         themselves. With ``n_shards > 1`` the global term is divided so that
         the psum over shards counts it once; ``frame_shards`` likewise divides
         the per-AOI prior term, which every frame shard of an AOI row
-        otherwise contributes identically.
+        otherwise contributes identically. ``return_batch=True`` also returns
+        the subsampled rows ``(ndx, fidx)`` so the optimizer can restrict its
+        update to exactly the parameters in this step's trace.
 
         Constraint transforms are applied AFTER the batch gather (they are
         elementwise, so transform-then-gather == gather-then-transform) -
@@ -191,11 +194,14 @@ class cosmos(Model):
         local, aoi_term, global_term = self._elbo_terms(
             params_u, k_global, k_local, ndx, f0, f, data
         )
-        return (
+        value = (
             global_term / n_shards
             + aoi_term * scale_n / frame_shards
             + local * scale
         )
+        if return_batch:
+            return value, (ndx, (f0 + jnp.arange(f)) % F)
+        return value
 
     def _elbo_terms(self, pu, key_global, key_local, ndx, f0, f_b, data):
         """Returns (sum of local per-(n,f,c) terms, sum of per-AOI terms,

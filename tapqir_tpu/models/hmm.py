@@ -129,7 +129,8 @@ class hmm(cosmos):
 
     # -- ELBO -------------------------------------------------------------------
     def elbo(self, params_u, key, data, n_shards=1, frame_shards=1,
-             frame_axis=None, key_ndx=None, chain_prefix=None):
+             frame_axis=None, key_ndx=None, chain_prefix=None,
+             return_batch=False):
         """Marginalized ELBO with the z-chain contracted by parallel scan.
 
         AOI-subsampled only; all frames participate (reference hmm
@@ -381,9 +382,12 @@ class hmm(cosmos):
 
         frames_term = (gamma.transpose(3, 0, 1, 2) * ell).sum(0) + lp_b - lq_b
         local_sum = (frames_term.sum((1, 2)) + chain_term) * mask
-        return global_term + (
+        value = global_term + (
             aoi_term / frame_shards + local_sum.sum()
         ) * scale_n
+        if return_batch:
+            return value, (ndx, None)  # AOI-subsampled only: all frames
+        return value
 
     # -- posteriors (reference: hmm.py:541-667) -----------------------------------
     @property

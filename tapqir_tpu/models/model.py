@@ -92,6 +92,9 @@ class Model:
         self.vectorized = vectorized
         self.nbatch_size = None
         self.fbatch_size = None
+        # minibatch-sparse Adam (reference semantics: pyro only steps the
+        # params in the trace); False falls back to dense optax.adam
+        self.sparse_adam = True
         self.n = None  # fixed AOI subset (plotting/stats), as in the reference
         self.f = None
         self.data_path = None
@@ -231,7 +234,7 @@ class Model:
             self.iter = 0
             self.converged = False
             self._rolling = {}
-            self.opt_state = self.tx.init(self.params)
+            self.opt_state = self._init_opt_state()
 
         # resume continues the RNG stream from the checkpoint (a fresh
         # PRNGKey(0) on every resume would replay the same minibatches)
@@ -241,20 +244,164 @@ class Model:
         self._tb_failed = False
         self._build_step()
 
+    def _row_groups(self):
+        """Classify parameters by their minibatch row structure, derived from
+        :meth:`param_partition`: ``("af", ax)`` for per-AOI-frame parameters
+        (axes ``ax``/``ax+1`` are the Nt/F axes), ``("a", ax)`` for per-AOI
+        parameters, ``("g", None)`` for globals."""
+        groups = {}
+        for name, pspec in self.param_partition().items():
+            axes = tuple(pspec)
+            if "aoi" not in axes:
+                groups[name] = ("g", None)
+                continue
+            ax = axes.index("aoi")
+            if "frame" in axes:
+                if axes.index("frame") != ax + 1:
+                    raise ValueError(
+                        f"{name}: frame axis must follow the aoi axis"
+                    )
+                groups[name] = ("af", ax)
+            else:
+                groups[name] = ("a", ax)
+        return groups
+
+    def _init_opt_state(self):
+        """Adam state; with sparse updates the bias-correction step count is
+        per ROW (see :meth:`_build_step`), kept as one shared array per row
+        group in the ScaleByAdamState.count slot."""
+        base = self.tx.init(self.params)
+        if not getattr(self, "sparse_adam", True):
+            return base
+        groups = self._row_groups()
+        Nt, F = self.data.Nt, self.data.F
+        counts = {"g": jnp.zeros((), jnp.int32)}
+        if any(k == "a" for k, _ in groups.values()):
+            counts["a"] = jnp.zeros((Nt,), jnp.int32)
+        if any(k == "af" for k, _ in groups.values()):
+            counts["af"] = jnp.zeros((Nt * F,), jnp.int32)
+        adam = base[0]._replace(count=counts)
+        return (adam,) + tuple(base[1:])
+
+    def _coerce_opt_state(self, opt_state):
+        """Convert a plain optax adam state (scalar step count, e.g. produced
+        by the restarts/sharded paths) into the sparse per-row-count format;
+        filling every row count with the global count is exact for rows that
+        were stepped every iteration and only perturbs the (1 - beta^t) bias
+        correction - negligible beyond the first few hundred steps."""
+        if not getattr(self, "sparse_adam", True):
+            return opt_state
+        adam = opt_state[0]
+        if isinstance(adam.count, dict):
+            return opt_state
+        fresh = self._init_opt_state()[0]
+        counts = {
+            k: jnp.full_like(v, adam.count.astype(jnp.int32))
+            for k, v in fresh.count.items()
+        }
+        return (adam._replace(count=counts),) + tuple(opt_state[1:])
+
     def _build_step(self):
 
         # data must be an explicit jit argument (NOT a closure constant): a
         # closed-over dataset would be embedded into the HLO as literal
         # constants - hundreds of MB at production scale.
+        sparse = getattr(self, "sparse_adam", True)
+        b1, b2, eps = 0.9, 0.999, 1e-8
+        lr = self.lr
+        groups = self._row_groups() if sparse else None
+
         def loss_fn(params_u, key, data):
             return -self.elbo(params_u, key, data)
 
-        def one_step(data, carry, key):
+        def loss_fn_batch(params_u, key, data):
+            value, batch = self.elbo(params_u, key, data, return_batch=True)
+            return -value, batch
+
+        def adam_math(g, mu, nu, p, t):
+            """One Adam update on the given (sub)arrays; ``t`` broadcasts."""
+            mu = b1 * mu + (1.0 - b1) * g
+            nu = b2 * nu + (1.0 - b2) * g * g
+            t = t.astype(p.dtype)
+            mu_hat = mu / (1.0 - b1**t)
+            nu_hat = nu / (1.0 - b2**t)
+            return mu, nu, p - lr * mu_hat / (jnp.sqrt(nu_hat) + eps)
+
+        def one_step_dense(data, carry, key):
             params_u, opt_state = carry
             loss, grads = jax.value_and_grad(loss_fn)(params_u, key, data)
             updates, opt_state = self.tx.update(grads, opt_state)
             params_u = optax.apply_updates(params_u, updates)
             return (params_u, opt_state), loss
+
+        def one_step_sparse(data, carry, key):
+            """Minibatch-sparse Adam: only the rows subsampled THIS step are
+            touched. The reference's optimizer has the same semantics (pyro
+            steps exactly the params in the trace, i.e. the subsampled plate
+            rows); dense Adam would read+write the full ~50 MB of per-AOI-
+            frame state every step (~1.5 ms/step at eLife scale, profiled) to
+            add exact zeros. Bias correction uses per-row step counts."""
+            params_u, opt_state = carry
+            adam = opt_state[0]
+            counts = adam.count
+            (loss, (ndx, fidx)), grads = jax.value_and_grad(
+                loss_fn_batch, has_aux=True
+            )(params_u, key, data)
+            F_l = data["xy"].shape[1]
+            if fidx is None:  # AOI-subsampled only (hmm): all frames
+                fidx = jnp.arange(F_l)
+            af_idx = (ndx[:, None] * F_l + fidx[None, :]).reshape(-1)
+
+            new_counts = {"g": counts["g"] + 1}
+            t_g = new_counts["g"]
+            row_idx, row_t = {}, {}
+            for grp, idx in (("a", ndx), ("af", af_idx)):
+                if grp in counts:
+                    row_t[grp] = jnp.take(counts[grp], idx) + 1
+                    new_counts[grp] = counts[grp].at[idx].add(
+                        1, unique_indices=True
+                    )
+                    row_idx[grp] = idx
+
+            new_p, new_mu, new_nu = {}, {}, {}
+            for name, p in params_u.items():
+                g, mu, nu = grads[name], adam.mu[name], adam.nu[name]
+                kind, ax = groups[name]
+                if kind == "g":
+                    new_mu[name], new_nu[name], new_p[name] = adam_math(
+                        g, mu, nu, p, t_g
+                    )
+                    continue
+                shp = p.shape
+                if kind == "af":  # collapse the adjacent (Nt, F) axes
+                    fshape = shp[:ax] + (shp[ax] * shp[ax + 1],) + shp[ax + 2:]
+                    p, g = p.reshape(fshape), g.reshape(fshape)
+                    mu, nu = mu.reshape(fshape), nu.reshape(fshape)
+                idx = row_idx[kind]
+                t = row_t[kind].reshape(
+                    (1,) * ax + (-1,) + (1,) * (p.ndim - ax - 1)
+                )
+                sl = (slice(None),) * ax + (idx,)
+                mu_r, nu_r, p_r = adam_math(
+                    jnp.take(g, idx, axis=ax),
+                    jnp.take(mu, idx, axis=ax),
+                    jnp.take(nu, idx, axis=ax),
+                    jnp.take(p, idx, axis=ax),
+                    t,
+                )
+                mu = mu.at[sl].set(mu_r, unique_indices=True)
+                nu = nu.at[sl].set(nu_r, unique_indices=True)
+                p = p.at[sl].set(p_r, unique_indices=True)
+                if kind == "af":
+                    mu, nu, p = (
+                        a.reshape(shp) for a in (mu, nu, p)
+                    )
+                new_mu[name], new_nu[name], new_p[name] = mu, nu, p
+
+            adam = adam._replace(count=new_counts, mu=new_mu, nu=new_nu)
+            return (new_p, (adam,) + tuple(opt_state[1:])), loss
+
+        one_step = one_step_sparse if sparse else one_step_dense
 
         def run_chunk_fn(params_u, opt_state, key, data, nsteps):
             keys = jax.random.split(key, nsteps)
@@ -287,6 +434,9 @@ class Model:
 
         if progress_bar is None:
             progress_bar = _default_progress
+        # a restarts/sharded handoff leaves a plain optax state (scalar
+        # step count); the sparse step needs per-row counts
+        self.opt_state = self._coerce_opt_state(self.opt_state)
         remaining = num_iter
         pbar = progress_bar(range(num_iter))
         pbar_iter = iter(pbar)
@@ -463,7 +613,11 @@ class Model:
             flat[f"mu::{k}"] = np.asarray(v)
         for k, v in nu_h.items():
             flat[f"nu::{k}"] = np.asarray(v)
-        flat["count"] = np.asarray(count_h)
+        if isinstance(count_h, dict):  # sparse Adam: per-row-group counts
+            for k, v in count_h.items():
+                flat[f"count::{k}"] = np.asarray(v)
+        else:
+            flat["count"] = np.asarray(count_h)
         flat["rng::key"] = np.asarray(jax.device_get(self._key))
         meta = {
             "iter": self.iter,
@@ -561,10 +715,21 @@ class Model:
                 for k, v in flat.items()
                 if k.startswith("nu::")
             }
-            count = jnp.asarray(flat["count"])
-            base = self.tx.init(self.params)
+            base = self._init_opt_state()
+            if any(k.startswith("count::") for k in flat):
+                count = {
+                    k[7:]: jnp.asarray(v)
+                    for k, v in flat.items()
+                    if k.startswith("count::")
+                }
+                if not isinstance(base[0].count, dict):  # sparse ckpt, dense run
+                    count = count["g"]
+            else:
+                count = jnp.asarray(flat["count"])
             adam = base[0]._replace(count=count, mu=mu, nu=nu)
-            self.opt_state = (adam,) + tuple(base[1:])
+            self.opt_state = self._coerce_opt_state(
+                (adam,) + tuple(base[1:])
+            )
             self.converged = meta["convergence_status"]
             self._rolling = meta["rolling"]
             self.iter = meta["iter"]

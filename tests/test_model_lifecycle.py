@@ -44,6 +44,91 @@ def test_oom_maps_to_typed_exception(tiny):
     assert "batch" in str(ei.value).lower()
 
 
+@pytest.mark.parametrize("name", ["cosmos", "cosmos+hmm"])
+def test_sparse_adam_full_batch_matches_dense(name, tmp_path):
+    """With a full-batch subsample every row is in every step's trace, so
+    the minibatch-sparse Adam must reproduce dense optax.adam exactly."""
+    import jax
+
+    params = dict(PARAMS)
+    if name == "cosmos+hmm":
+        del params["pi"]
+        params.update(kon=0.2, koff=0.2)
+    data = simulate(name, N=3, F=8, C=1, P=14, seed=0, params=params)
+    save(data, tmp_path)
+    results = {}
+    for sparse in (True, False):
+        model = models[name]()
+        model.load(tmp_path)
+        model.sparse_adam = sparse
+        model.init(lr=0.005, nbatch_size=3, fbatch_size=8)
+        p, o, losses = model._run_chunk(
+            model.params, model.opt_state, jax.random.PRNGKey(7), 20
+        )
+        results[sparse] = (jax.device_get(p), np.asarray(losses))
+    p_s, l_s = results[True]
+    p_d, l_d = results[False]
+    # identical math, different op order: float32 rounding compounds over
+    # the 20-step trajectory (~1e-5 relative observed)
+    np.testing.assert_allclose(l_s, l_d, rtol=3e-4)
+    for k in p_d:
+        np.testing.assert_allclose(
+            p_s[k], p_d[k], rtol=1e-4, atol=1e-5, err_msg=k
+        )
+
+
+def test_sparse_adam_leaves_unsampled_rows_unchanged(tmp_path):
+    """Reference-optimizer semantics (pyro steps only the params in the
+    trace): rows outside the minibatch must be bit-identical after a step,
+    and exactly nbatch (AOI) / nbatch*fbatch (AOI-frame) rows may move."""
+    import jax
+
+    data = simulate("cosmos", N=6, F=8, C=1, P=14, seed=0, params=PARAMS)
+    save(data, tmp_path)
+    model = models["cosmos"]()
+    model.load(tmp_path)
+    model.init(lr=0.005, nbatch_size=2, fbatch_size=4)
+    p0 = jax.device_get(model.params)
+    p1, o1, _ = model._run_chunk(
+        model.params, model.opt_state, jax.random.PRNGKey(3), 1
+    )
+    p1 = jax.device_get(p1)
+    groups = model._row_groups()
+    checked = {"a": 0, "af": 0}
+    for k, (kind, ax) in groups.items():
+        if kind == "g":
+            continue
+        diff = p1[k] != p0[k]
+        # collapse every axis except the row axes to "any change in row"
+        if kind == "a":
+            rows = diff.any(
+                axis=tuple(i for i in range(diff.ndim) if i != ax)
+            )
+            assert rows.sum() <= 2, k
+        else:
+            rows = diff.any(
+                axis=tuple(i for i in range(diff.ndim) if i not in (ax, ax + 1))
+            )
+            assert rows.sum() <= 2 * 4, k
+        checked[kind] += 1
+    assert checked["af"] > 0  # the property was actually exercised
+    # per-row step counts round-trip through the checkpoint
+    model.params, model.opt_state = p1, o1
+    model.iter = 1
+    model.iter_loss = 0.0
+    model.save_checkpoint()
+    counts = jax.device_get(model.opt_state[0].count)
+    model2 = models["cosmos"]()
+    model2.load(tmp_path)
+    model2.init(lr=0.005, nbatch_size=2, fbatch_size=4)
+    counts2 = jax.device_get(model2.opt_state[0].count)
+    assert set(counts) == set(counts2)
+    for grp in counts:
+        np.testing.assert_array_equal(counts[grp], counts2[grp])
+    assert int(counts2["g"]) == 1
+    assert int(counts2["af"].sum()) == 2 * 4
+
+
 @pytest.mark.slow
 def test_nan_loss_reloads_and_reseeds(tiny, caplog):
     """A NaN loss chunk reloads the previous checkpoint and reseeds the RNG
