@@ -107,30 +107,39 @@ def unbound_dwell_times(intervals) -> np.ndarray:
 
 def time_to_first_binding(labels) -> np.ndarray:
     r"""Frames elapsed before the first binding event; records with no
-    binding are right-censored at F (reference: imscroll.py:143-196)."""
-    bound = np.asarray(labels).astype(bool)
-    F = bound.shape[-1]
-    first_bound = bound.argmax(axis=-1)
-    return np.where(bound.any(axis=-1), first_bound, F).astype(np.float64)
+    binding are right-censored at F (reference: imscroll.py:143-196).
+
+    Accepts binary z samples OR per-frame binding probabilities q(z=1):
+    with probabilities the result is the expected time to first binding,
+    :math:`\sum_k k\,q_k \prod_{j<k}(1-q_j) + F \prod_j (1-q_j)`, which
+    reduces to the first-bound frame index (or F) for binary input."""
+    q = np.asarray(labels, np.float64)
+    F = q.shape[-1]
+    never_through = np.cumprod(1.0 - q, axis=-1)  # prod_{j<=k}(1-q_j)
+    never_before = np.concatenate(
+        [np.ones_like(q[..., :1]), never_through[..., :-1]], axis=-1
+    )
+    k = np.arange(F, dtype=np.float64)
+    return (k * q * never_before).sum(-1) + F * never_through[..., -1]
 
 
 def association_rate(labels) -> np.ndarray:
-    """On-rate of a two-state HMM: 0->1 transitions per frame spent unbound
+    """On-rate of a two-state HMM: 0->1 transitions per frame spent unbound;
+    binary samples or binding probabilities (expected rate)
     (reference: imscroll.py:199-221)."""
-    bound = np.asarray(labels).astype(bool)
-    now, nxt = bound[..., :-1], bound[..., 1:]
-    events = (~now & nxt).sum((-2, -1))
-    unbound_frames = (~now).sum((-2, -1))
+    q = np.asarray(labels, np.float64)
+    events = ((1.0 - q[..., :-1]) * q[..., 1:]).sum((-2, -1))
+    unbound_frames = (1.0 - q[..., :-1]).sum((-2, -1))
     return events / unbound_frames
 
 
 def dissociation_rate(labels) -> np.ndarray:
-    """Off-rate of a two-state HMM: 1->0 transitions per frame spent bound
+    """Off-rate of a two-state HMM: 1->0 transitions per frame spent bound;
+    binary samples or binding probabilities (expected rate)
     (reference: imscroll.py:224-246)."""
-    bound = np.asarray(labels).astype(bool)
-    now, nxt = bound[..., :-1], bound[..., 1:]
-    events = (now & ~nxt).sum((-2, -1))
-    bound_frames = now.sum((-2, -1))
+    q = np.asarray(labels, np.float64)
+    events = (q[..., :-1] * (1.0 - q[..., 1:])).sum((-2, -1))
+    bound_frames = q[..., :-1].sum((-2, -1))
     return events / bound_frames
 
 
