@@ -20,7 +20,12 @@ pyro/pykeops are not installed here, so the anchor is an ASSUMPTION, stated
 explicitly: 10 SVI steps/s on the reference's single-GPU path, i.e. 100k
 steps (the documented convergence budget, part_ii_linux.rst:198-203) in
 ~2.8 h. All vs_baseline figures are relative to that assumed anchor, per
-model. The driver-set north star is >=20x.
+model. The driver-set north star is >=20x. One bracket point IS measured
+with the reference's own code: scripts/bench_reference_cpu.py times its
+pure-torch likelihood fallback (the shipped --cpu path) at this exact
+workload - 111.7 s/step fwd+bwd on this box's single-core CPU (0.009
+steps/s), so the assumed GPU anchor grants the reference ~1,000x over its
+own measured CPU path.
 
 Per model, three figures (BASELINE.md's required metrics):
 
