@@ -19,13 +19,30 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+import subprocess
+
+# Probe the ambient platform in a THROWAWAY subprocess with a timeout: when
+# the TPU tunnel is wedged, jax.devices() neither returns nor raises (the
+# device-claim leg spins forever), so an in-process try/except would hang
+# this driver - and the whole --runslow suite - indefinitely.
+try:
+    _probe = subprocess.run(
+        [sys.executable, "-c", "import jax; jax.devices()"],
+        capture_output=True,
+        timeout=180,
+    )
+    _probe_err = (
+        None if _probe.returncode == 0
+        else _probe.stderr.decode(errors="replace")[-200:]
+    )
+except subprocess.TimeoutExpired:
+    _probe_err = "device claim timed out after 180 s"
+
 import jax
 
-try:
-    jax.devices()
-except Exception as e:  # TPU attached but unreachable: fall back to CPU
-    print(f"default platform unavailable ({e!r}); falling back to CPU",
-          file=sys.stderr)
+if _probe_err is not None:
+    print(f"default platform unavailable ({_probe_err!r}); falling back to "
+          "CPU", file=sys.stderr)
     jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
