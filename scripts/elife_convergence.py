@@ -3,8 +3,8 @@
 The real eLife 2022 DatasetA (gelles-brandeis, doi 10.7554/eLife.73860) is
 not fetchable in this offline environment, so this runs the largest honest
 proxy: a simulated dataset at EXACTLY the reference workload's shape -
-Nt = 856 AOIs (331 on-target + 525 off-target ratio preserved via the
-simulator's default on/off split), F = 790 frames, P = 14, C = 1, with
+Nt = 856 AOIs (DatasetA is 331 on-target + 525 off-target; the simulator's
+split is 428 + 428, same total), F = 790 frames, P = 14, C = 1, with
 ground-truth labels retained - fit with the reference's documented defaults
 (lr 5e-3, 10 AOI x 512 frame minibatch, convergence-criterion stopping;
 reference docs/source/tutorials/part_ii_linux.rst:76-203 budget 100k iters).

@@ -177,3 +177,31 @@ def test_fit_interactive_prompts(tmp_path):
     assert "Tapqir model" in result.output
     assert "Number of iterations" in result.output
     assert (tmp_path / ".tapqir" / "cosmos_model.tpqr").exists()
+
+
+def test_show_and_log_commands(tmp_path, monkeypatch):
+    data = simulate("cosmos", N=2, F=5, C=1, P=14, seed=0,
+                    params=_sim_params("cosmos"))
+    save(data, tmp_path)
+    result = runner.invoke(
+        app,
+        ["--cd", str(tmp_path), "fit", "--model", "cosmos",
+         "--nbatch-size", "2", "--fbatch-size", "5",
+         "--num-iter", "1", "--cpu", "--no-input"],
+    )
+    assert result.exit_code == 0, result.output + repr(result.exception)
+
+    result = runner.invoke(
+        app,
+        ["--cd", str(tmp_path), "show", "--model", "cosmos", "-n", "1",
+         "--f1", "0", "--num-frames", "3"],
+    )
+    assert result.exit_code == 0, result.output + repr(result.exception)
+    assert list(tmp_path.glob("cosmos_aoi1*.png")), list(tmp_path.iterdir())
+
+    # log pages .tapqir/loginfo; use a capture pager instead of less
+    pages = []
+    monkeypatch.setattr("pydoc.pager", pages.append)
+    result = runner.invoke(app, ["--cd", str(tmp_path), "log"])
+    assert result.exit_code == 0, result.output + repr(result.exception)
+    assert pages and "tapqir" in pages[0]

@@ -213,3 +213,34 @@ def test_build_fov_state_from_workspace(glimpse_dir, tmp_path):
     (empty / ".tapqir").mkdir(parents=True)
     (empty / ".tapqir" / "config.yaml").write_text("P: 14\n")
     assert build_fov_state(empty) is None
+
+
+def test_glimpse_cli_command(glimpse_dir):
+    """The `tapqir glimpse` CLI drives read_glimpse end to end and writes
+    data.tpqr + config.yaml (reference: test_tapqir.py's CliRunner pattern)."""
+    from click.testing import CliRunner
+
+    from tapqir_tpu.main import app
+    from tapqir_tpu.utils.dataset import load
+
+    tmp_path, gdir = glimpse_dir
+    os.environ["CI"] = "true"  # skip QC plots
+    result = CliRunner().invoke(
+        app,
+        [
+            "--cd", str(tmp_path), "glimpse",
+            "--dataset", "synthetic", "-P", "14", "--num-channels", "1",
+            "--offset-x", "0", "--offset-y", "38", "--offset-p", "8",
+            "--bin-size", "1", "--use-offtarget",
+            "--name", "channel0",
+            "--glimpse-folder", str(gdir),
+            "--driftlist", str(tmp_path / "driftlist.mat"),
+            "--ontarget-aoiinfo", str(tmp_path / "aoi_on.mat"),
+            "--offtarget-aoiinfo", str(tmp_path / "aoi_off.mat"),
+            "--no-input",
+        ],
+    )
+    assert result.exit_code == 0, result.output
+    data = load(tmp_path)
+    assert data.Nt == 3 and data.N == 2 and data.F == 6
+    assert (tmp_path / ".tapqir" / "config.yaml").exists()
