@@ -50,6 +50,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"};
 
 import json
 import os
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -59,6 +60,42 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).parent))
 
 REF_GPU_STEPS_PER_SEC = 10.0  # ASSUMED anchor (see module docstring)
+
+
+def _ensure_device_or_fallback(retries=3, probe_timeout=180):
+    """When the TPU tunnel is wedged, ``jax.devices()`` neither returns nor
+    raises (the device-claim leg spins forever), which would hang this
+    benchmark - and whoever invoked it - indefinitely. Probe the ambient
+    platform in a throwaway subprocess with a timeout, retry a few times
+    (tunnels flap), then pin jax to CPU with an explicit marker so the run
+    still completes with honestly-labeled numbers.
+
+    Returns "" when the ambient (TPU) platform is live, else a suffix to
+    append to the reported unit string."""
+    for attempt in range(retries):
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].platform)"],
+                capture_output=True, timeout=probe_timeout, text=True,
+            )
+            if probe.returncode == 0:
+                platform = probe.stdout.strip().splitlines()[-1]
+                if platform != "cpu":
+                    return ""
+                break  # genuinely no accelerator registered: CPU box
+            err = probe.stderr[-200:]
+        except subprocess.TimeoutExpired:
+            err = f"device claim timed out after {probe_timeout} s"
+        print(f"[bench] device probe {attempt + 1}/{retries} failed: {err}",
+              file=sys.stderr, flush=True)
+        time.sleep(30)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    print("[bench] WARNING: accelerator unavailable; measuring on host CPU",
+          file=sys.stderr, flush=True)
+    return " [CPU FALLBACK - accelerator tunnel unavailable at run time]"
 CACHE = Path(os.environ.get("TAPQIR_BENCH_CACHE", "/tmp/tapqir_bench"))
 
 SIM_PARAMS = {
@@ -106,7 +143,7 @@ def build_dataset(name, sim_params, Nt=856, F=790, C=1, P=14, n_chunk=8):
     return data, cache
 
 
-def measure_exp_roofline():
+def measure_exp_roofline(iters=200):
     """Measured idealized kernel inner loop: per element of a 4 MB block,
     32 INDEPENDENT fused exp(a*x + b_j) evaluations accumulated into one
     output (arithmetic intensity ~16 evals/byte - compute-bound, like the
@@ -117,7 +154,7 @@ def measure_exp_roofline():
 
     n = 1 << 22
     x0 = jnp.linspace(-1.0, 1.0, n, dtype=jnp.float32)
-    UNROLL, ITERS = 64, 200
+    UNROLL, ITERS = 64, iters
     bs = [0.01 + 0.001 * j for j in range(UNROLL)]
 
     @jax.jit
@@ -190,14 +227,21 @@ def bench_model(name, sim_params, C=1, Nt=856, F=790, fbatch=512,
 
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    unit_suffix = _ensure_device_or_fallback()
 
     def note(name, v):  # progress to stderr; the driver reads stdout JSON only
         print(f"[bench] {name}: {v:.2f} steps/s", file=sys.stderr, flush=True)
 
+    # the timed window: 200 steps on an accelerator, 10 on the CPU fallback
+    # (a CPU step costs seconds; the metric label carries the fallback marker)
+    n_steps = 10 if unit_suffix else 200
+
     results = {}
     if which in ("all", "cosmos"):
         # m-configs through the kernel: 2^K = 4
-        results["cosmos"] = bench_model("cosmos", SIM_PARAMS, m_kernel=4)
+        results["cosmos"] = bench_model(
+            "cosmos", SIM_PARAMS, m_kernel=4, n_steps=n_steps
+        )
         note("cosmos", results["cosmos"]["steps_per_sec"])
     if which in ("all", "hmm", "cosmos+hmm"):
         hmm_params = dict(SIM_PARAMS)
@@ -205,7 +249,7 @@ def main():
         hmm_params.update(kon=0.2, koff=0.2)
         # full-F chain: every step sees all 790 frames of its AOI batch
         results["hmm"] = bench_model(
-            "cosmos+hmm", hmm_params, fbatch=790, m_kernel=4
+            "cosmos+hmm", hmm_params, fbatch=790, m_kernel=4, n_steps=n_steps
         )
         note("hmm", results["hmm"]["steps_per_sec"])
     if which in ("all", "crosstalk"):
@@ -213,11 +257,11 @@ def main():
         ct_params["alpha"] = [[0.85, 0.15], [0.1, 0.9]]
         # C=2 dyes: 2^(K*Q) = 16 global m-configs through the kernel
         results["crosstalk"] = bench_model(
-            "crosstalk", ct_params, C=2, m_kernel=16
+            "crosstalk", ct_params, C=2, m_kernel=16, n_steps=n_steps
         )
         note("crosstalk", results["crosstalk"]["steps_per_sec"])
 
-    roofline = measure_exp_roofline()
+    roofline = measure_exp_roofline(iters=10 if unit_suffix else 200)
     print(f"[bench] exp roofline: {roofline/1e12:.2f} T evals/s",
           file=sys.stderr, flush=True)
 
@@ -238,7 +282,8 @@ def main():
                 "metric": "cosmos_svi_steps_per_sec_elife_scale_1chip",
                 "value": headline["steps_per_sec"],
                 "unit": "steps/s (batch 10 AOIs x 512 frames, P14, 61 offset "
-                        "bins; vs ASSUMED 10 steps/s reference-GPU anchor)",
+                        "bins; vs ASSUMED 10 steps/s reference-GPU anchor)"
+                        + unit_suffix,
                 "vs_baseline": round(
                     headline["steps_per_sec"] / REF_GPU_STEPS_PER_SEC, 2
                 ),
