@@ -49,7 +49,10 @@ from tapqir_tpu.distributions.core import (
     gamma_sample,
     halfnormal_log_prob,
 )
-from tapqir_tpu.distributions.ksmogn import offset_gamma_log_prob_summed
+from tapqir_tpu.distributions.ksmogn import (
+    offset_gamma_log_prob_summed,
+    offset_gamma_log_prob_summed_mixed,
+)
 from tapqir_tpu.distributions.util import gaussian_spots_flat
 from tapqir_tpu.infer.discrete import (
     log_probs_m,
@@ -82,12 +85,14 @@ class cosmos(Model):
     name = "cosmos"
 
     def __init__(self, S=1, K=2, Q=None, device=None, dtype="float32",
-                 use_pallas=None, priors=None, vectorized=True):
+                 use_pallas=None, priors=None, vectorized=True,
+                 mixed_kernel=False):
         merged = dict(DEFAULT_PRIORS)
         merged.update(priors or {})
         super().__init__(
             S=S, K=K, Q=Q, device=device, dtype=dtype,
             use_pallas=use_pallas, priors=merged, vectorized=vectorized,
+            mixed_kernel=mixed_kernel,
         )
         self._global_params = ["gain", "proximity", "lamda", "pi"]
         self.conv_params = ["-ELBO", "proximity_loc", "gain_loc", "lamda_loc"]
@@ -454,22 +459,62 @@ class cosmos(Model):
         # flat pixel layout end-to-end: the event reduction runs INSIDE the
         # Pallas kernel (offset_gamma_summed_pallas), so no XLA relayout
         # loops form around it (profiled)
-        n_, f_, C_ = obs.shape[:3]
         ev_pad = obs.shape[-1]
         gauss = gaussian_spots_flat(
             h, w, xs, ys, target_locs, P, ev_pad
         )  # (n, f, C, K, EVP)
+        loglik = self._likelihood_flat(obs, b, gauss, mtab, gain, data)
+
+        return (wq * (inner + term_hw + loglik - log_qm - term_q)).sum(0)  # (n, f, Q)
+
+    def _likelihood_flat(self, obs, b, gauss, mtab, gain, data):
+        """(M, n, f, C) event-summed KSMOGN log-likelihood from the rendered
+        spots. Two equivalent paths:
+
+        * mixed (``self.mixed_kernel``): background + per-spot components go
+          to the kernel as-is and each config's concentration is mixed
+          INSIDE it from a tiny (M, 1+K, C) weight table - no (M, nfc, EVP)
+          concentration tensor or cotangent ever hits HBM;
+        * materialized: the per-config concentration is built by an XLA
+          einsum (the original path; kept as the fallback until the mixed
+          kernel is hardware-validated).
+        """
+        n_, f_, C_ = obs.shape[:3]
+        ev_pad = obs.shape[-1]
+        K = gauss.shape[-2]
+        P = self.data.P
+        if self.mixed_kernel:
+            inv_gain = 1.0 / gain
+            comps = jnp.concatenate(
+                [
+                    jnp.broadcast_to(
+                        b[..., None], (n_, f_, C_, ev_pad)
+                    )[None],
+                    jnp.moveaxis(gauss, -2, 0),
+                ],
+                0,
+            )  # (1+K, n, f, C, EVP)
+            mix = (
+                jnp.concatenate(
+                    [jnp.ones((mtab.shape[0], 1), mtab.dtype), mtab], 1
+                )
+                * inv_gain
+            )  # (M, 1+K)
+            mix = jnp.broadcast_to(mix[..., None], mix.shape + (C_,))
+            return offset_gamma_log_prob_summed_mixed(
+                obs, comps, mix, inv_gain,
+                data["offset_samples"], data["offset_logits"],
+                ev=P * P, use_pallas=self.use_pallas,
+            )  # (M, n, f, C)
         gauss_flat = gauss.reshape(n_ * f_ * C_, K, ev_pad)
         img_flat = b.reshape(-1)[None, :, None] + jnp.einsum(
             "mk,xkp->mxp", mtab, gauss_flat
         )  # (M, nfc, EVP)
-        loglik = offset_gamma_log_prob_summed(
+        return offset_gamma_log_prob_summed(
             obs.reshape(n_ * f_ * C_, ev_pad), img_flat / gain, 1.0 / gain,
             data["offset_samples"], data["offset_logits"],
             event_ndims=1, use_pallas=self.use_pallas, ev=P * P,
         ).reshape(mtab.shape[0], n_, f_, C_)  # (M, n, f, C)
-
-        return (wq * (inner + term_hw + loglik - log_qm - term_q)).sum(0)  # (n, f, Q)
 
     # -- posterior probabilities (reference: cosmos.py:609-672) ----------------
     def _probs_batch(self, pc, key, ndx, fdx, data, num_particles):

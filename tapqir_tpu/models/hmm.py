@@ -72,10 +72,12 @@ class hmm(cosmos):
     frame_coupled = True
 
     def __init__(self, S=1, K=2, device=None, dtype="float32",
-                 use_pallas=None, vectorized=True, priors=None):
+                 use_pallas=None, vectorized=True, priors=None,
+                 mixed_kernel=False):
         super().__init__(
             S=S, K=K, Q=None, device=device, dtype=dtype,
             use_pallas=use_pallas, priors=priors, vectorized=vectorized,
+            mixed_kernel=mixed_kernel,
         )
         self._global_params = ["gain", "proximity", "lamda", "trans"]
         self.ci_params = [
@@ -334,21 +336,14 @@ class hmm(cosmos):
         term_hw = jnp.einsum("mk,nfqk->mnfq", mtab, lph + lpw)
 
         # flat lane-padded pixel layout end-to-end (see cosmos): in-kernel
-        # event reduction, no XLA relayout loops around the kernel
-        n_, F_, C_ = obs.shape[:3]
+        # event reduction, no XLA relayout loops around the kernel; the
+        # mixed path additionally builds each config's concentration inside
+        # the kernel (cosmos._likelihood_flat)
         ev_pad = obs.shape[-1]
         gauss = gaussian_spots_flat(
             h, w, xs, ys, target_locs, P, ev_pad
         )  # (n, F, C, K, EVP)
-        gauss_flat = gauss.reshape(n_ * F_ * C_, K, ev_pad)
-        img_flat = b.reshape(-1)[None, :, None] + jnp.einsum(
-            "mk,xkp->mxp", mtab, gauss_flat
-        )
-        loglik = offset_gamma_log_prob_summed(
-            obs.reshape(n_ * F_ * C_, ev_pad), img_flat / gain, 1.0 / gain,
-            data["offset_samples"], data["offset_logits"],
-            event_ndims=1, use_pallas=self.use_pallas, ev=P * P,
-        ).reshape(mtab.shape[0], n_, F_, C_)  # (M, n, F, C)
+        loglik = self._likelihood_flat(obs, b, gauss, mtab, gain, data)  # (M, n, F, C)
 
         log_qm = jnp.einsum("mk,snfqk->msnfq", mtab, jnp.log(qm)) + jnp.einsum(
             "mk,snfqk->msnfq", 1.0 - mtab, jnp.log1p(-qm)
