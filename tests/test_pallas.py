@@ -306,6 +306,88 @@ def test_mixsum_dispatcher_fallback_matches_pallas():
                                rtol=3e-5, atol=1e-2)
 
 
+def test_summed_kernel_vmap_matches_loop():
+    """parallel/restarts.py vmaps the whole train step over R chains, which
+    pushes a batch axis through the pallas_call + custom_vjp; the batched
+    kernel (and its gradients) must agree with a per-chain loop."""
+    from tapqir_tpu.distributions.ksmogn import offset_gamma_log_prob_summed
+
+    R = 3
+    cases = [_summed_case(seed=s) for s in range(R)]
+    value = jnp.stack([jnp.asarray(c[0]) for c in cases])
+    conc = jnp.stack([jnp.asarray(c[1]) for c in cases])
+    rate, g, w, ev = cases[0][2:]
+
+    def one(v, a):
+        return offset_gamma_log_prob_summed(
+            v, a, jnp.asarray(rate), jnp.asarray(g), jnp.asarray(w),
+            event_ndims=1, use_pallas=True, ev=ev,
+        ).sum()
+
+    got = jax.vmap(one)(value, conc)
+    want = jnp.stack([one(value[r], conc[r]) for r in range(R)])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+    gv = jax.vmap(jax.grad(one, argnums=1))(value, conc)
+    wv = jnp.stack([jax.grad(one, argnums=1)(value[r], conc[r])
+                    for r in range(R)])
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(wv),
+                               rtol=1e-5, atol=1e-5)
+
+
+def _summed_case(M=4, nb=12, ev=196, ev_pad=256, J=7, seed=0):
+    rng = np.random.default_rng(seed)
+    value = rng.integers(95, 400, size=(nb, ev)).astype(np.float32)
+    conc = rng.uniform(10.0, 80.0, size=(M, nb, ev)).astype(np.float32)
+    g = np.sort(rng.integers(80, 95, size=J)).astype(np.float32)
+    w = np.log(rng.dirichlet(np.ones(J))).astype(np.float32)
+    rate = np.float32(1.0 / 7.0)
+    value_p = np.concatenate(
+        [value, np.full((nb, ev_pad - ev), g.max() + 1.0, np.float32)], -1
+    )
+    conc_p = np.concatenate(
+        [conc, np.ones((M, nb, ev_pad - ev), np.float32)], -1
+    )
+    return value_p, conc_p, rate, g, w, ev
+
+
+def test_mixsum_kernel_vmap_matches_loop():
+    """Same vmap-over-chains contract for the mixed kernel."""
+    from tapqir_tpu.distributions.ksmogn import (
+        offset_gamma_log_prob_summed_mixed,
+    )
+
+    R = 3
+    cases = [_mixsum_case(C=2, seed=20 + s) for s in range(R)]
+    value = jnp.stack([jnp.asarray(c[0]) for c in cases])
+    comps = jnp.stack([jnp.asarray(c[1]) for c in cases])
+    mix = jnp.stack([jnp.asarray(c[2]) for c in cases])
+    rate, g, w, ev = cases[0][3:]
+    n, C = 6, 2
+
+    def one(v, cp, mx):
+        return offset_gamma_log_prob_summed_mixed(
+            v.reshape(n, C, 256), cp.reshape(3, n, C, 256), mx,
+            jnp.asarray(rate), jnp.asarray(g), jnp.asarray(w),
+            ev=ev, use_pallas=True,
+        ).sum()
+
+    got = jax.vmap(one)(value, comps, mix)
+    want = jnp.stack([one(value[r], comps[r], mix[r]) for r in range(R)])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+    gv = jax.vmap(jax.grad(one, argnums=(1, 2)))(value, comps, mix)
+    wv = [jax.grad(one, argnums=(1, 2))(value[r], comps[r], mix[r])
+          for r in range(R)]
+    for i in range(2):
+        np.testing.assert_allclose(
+            np.asarray(gv[i]), np.asarray(jnp.stack([t[i] for t in wv])),
+            rtol=1e-5, atol=1e-5,
+        )
+
+
 def test_gaussian_spots_flat_matches_reshaped():
     from tapqir_tpu.distributions.util import gaussian_spots, gaussian_spots_flat
 
