@@ -21,8 +21,10 @@ pytestmark = pytest.mark.slow
 
 DRIVER = Path(__file__).resolve().parent / "recovery_driver.py"
 
+_ambient_alive = None
 
-def _run(name):
+
+def _child_env():
     env = dict(os.environ)
     # conftest pins this process to CPU; the child should use the ambient
     # default platform (sitecustomize-registered TPU plugin, or plain CPU)
@@ -30,9 +32,35 @@ def _run(name):
     env["XLA_FLAGS"] = env.get("XLA_FLAGS", "").replace(
         "--xla_force_host_platform_device_count=8", ""
     ).strip()
+    return env
+
+
+def _probe_ambient():
+    """One-shot liveness probe of the ambient accelerator. A wedged TPU
+    tunnel makes ``jax.devices()`` hang (neither return nor raise), which
+    would stall each recovery fit until its 1 h timeout; probe once with a
+    short timeout and skip loudly instead."""
+    global _ambient_alive
+    if _ambient_alive is None:
+        try:
+            res = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].platform)"],
+                env=_child_env(), capture_output=True, text=True, timeout=180,
+            )
+            _ambient_alive = res.returncode == 0
+        except subprocess.TimeoutExpired:
+            _ambient_alive = False
+    if not _ambient_alive:
+        pytest.skip("ambient accelerator unavailable (device claim wedged); "
+                    "recovery fits would stall until their timeout")
+
+
+def _run(name):
+    _probe_ambient()
     res = subprocess.run(
         [sys.executable, str(DRIVER), name],
-        env=env, capture_output=True, text=True, timeout=3600,
+        env=_child_env(), capture_output=True, text=True, timeout=3600,
     )
     if res.returncode != 0:
         pytest.fail(
