@@ -340,33 +340,56 @@ class Model:
             return (params_u, opt_state), loss
 
         def one_step_sparse(data, carry, key):
-            """Minibatch-sparse Adam: only the rows subsampled THIS step are
-            touched. The reference's optimizer has the same semantics (pyro
-            steps exactly the params in the trace, i.e. the subsampled plate
-            rows); dense Adam would read+write the full ~50 MB of per-AOI-
-            frame state every step (~1.5 ms/step at eLife scale, profiled) to
-            add exact zeros. Bias correction uses per-row step counts."""
+            """Minibatch-sparse Adam: only the rows subsampled THIS step move.
+            The reference's optimizer has the same semantics (pyro steps
+            exactly the params in the trace, i.e. the subsampled plate rows);
+            plain dense Adam would keep decaying the momentum of untouched
+            rows and drift them. Bias correction uses per-row step counts.
+
+            Implemented as DENSE masked arithmetic, not gather/scatter: the
+            batch membership masks are algebraic (an AOI broadcast-compare
+            outer-product with the cyclic frame window), the Adam math runs
+            full-width, and ``where`` keeps untouched rows bit-identical.
+            A gather/update/scatter formulation is the textbook "sparse"
+            shape, but on TPU it reshapes every (.., Nt, F, ..) param + its
+            mu/nu to a flat row-major view and back each step; the layout
+            round-trips turn the training while-loop's carries into full
+            copies (~11 ms/step of relayout at eLife scale, profiled) and the
+            remat copies of the (K, Nt, F, C)-minor views OOM the crosstalk
+            compile outright. The masked form is one fused elementwise pass
+            per param (same traffic as dense optax Adam, ~1.5 ms/step),
+            layout-neutral, and exactly as sparse in its semantics."""
             params_u, opt_state = carry
             adam = opt_state[0]
             counts = adam.count
             (loss, (ndx, fidx)), grads = jax.value_and_grad(
                 loss_fn_batch, has_aux=True
             )(params_u, key, data)
-            F_l = data["xy"].shape[1]
+            Nt_l, F_l = data["xy"].shape[0], data["xy"].shape[1]
+            aoi_mask = (jnp.arange(Nt_l)[:, None] == ndx[None, :]).any(1)
             if fidx is None:  # AOI-subsampled only (hmm): all frames
-                fidx = jnp.arange(F_l)
-            af_idx = (ndx[:, None] * F_l + fidx[None, :]).reshape(-1)
+                af_mask = jnp.broadcast_to(aoi_mask[:, None], (Nt_l, F_l))
+            else:
+                frame_mask = (
+                    jnp.arange(F_l)[:, None] == fidx[None, :]
+                ).any(1)
+                af_mask = aoi_mask[:, None] & frame_mask[None, :]
 
             new_counts = {"g": counts["g"] + 1}
             t_g = new_counts["g"]
-            row_idx, row_t = {}, {}
-            for grp, idx in (("a", ndx), ("af", af_idx)):
+            masks, corr = {}, {}
+            for grp, m in (("a", aoi_mask), ("af", af_mask)):
                 if grp in counts:
-                    row_t[grp] = jnp.take(counts[grp], idx) + 1
-                    new_counts[grp] = counts[grp].at[idx].add(
-                        1, unique_indices=True
+                    new_counts[grp] = counts[grp] + m.reshape(-1).astype(
+                        counts[grp].dtype
                     )
-                    row_idx[grp] = idx
+                    # t=0 rows (never yet sampled) would give 1-b^0 = 0; the
+                    # max(t,1) value is arbitrary there - masked out below
+                    t = jnp.maximum(new_counts[grp], 1).astype(
+                        jnp.float32
+                    ).reshape(m.shape)
+                    corr[grp] = (1.0 - b1**t, 1.0 - b2**t)
+                    masks[grp] = m
 
             new_p, new_mu, new_nu = {}, {}, {}
             for name, p in params_u.items():
@@ -377,31 +400,18 @@ class Model:
                         g, mu, nu, p, t_g
                     )
                     continue
-                shp = p.shape
-                if kind == "af":  # collapse the adjacent (Nt, F) axes
-                    fshape = shp[:ax] + (shp[ax] * shp[ax + 1],) + shp[ax + 2:]
-                    p, g = p.reshape(fshape), g.reshape(fshape)
-                    mu, nu = mu.reshape(fshape), nu.reshape(fshape)
-                idx = row_idx[kind]
-                t = row_t[kind].reshape(
-                    (1,) * ax + (-1,) + (1,) * (p.ndim - ax - 1)
+                m = masks[kind]
+                c1, c2 = corr[kind]
+                bshape = (1,) * ax + m.shape + (1,) * (p.ndim - ax - m.ndim)
+                m_b = m.reshape(bshape)
+                mu2 = b1 * mu + (1.0 - b1) * g
+                nu2 = b2 * nu + (1.0 - b2) * g * g
+                p2 = p - lr * (mu2 / c1.reshape(bshape)) / (
+                    jnp.sqrt(nu2 / c2.reshape(bshape)) + eps
                 )
-                sl = (slice(None),) * ax + (idx,)
-                mu_r, nu_r, p_r = adam_math(
-                    jnp.take(g, idx, axis=ax),
-                    jnp.take(mu, idx, axis=ax),
-                    jnp.take(nu, idx, axis=ax),
-                    jnp.take(p, idx, axis=ax),
-                    t,
-                )
-                mu = mu.at[sl].set(mu_r, unique_indices=True)
-                nu = nu.at[sl].set(nu_r, unique_indices=True)
-                p = p.at[sl].set(p_r, unique_indices=True)
-                if kind == "af":
-                    mu, nu, p = (
-                        a.reshape(shp) for a in (mu, nu, p)
-                    )
-                new_mu[name], new_nu[name], new_p[name] = mu, nu, p
+                new_mu[name] = jnp.where(m_b, mu2, mu)
+                new_nu[name] = jnp.where(m_b, nu2, nu)
+                new_p[name] = jnp.where(m_b, p2, p)
 
             adam = adam._replace(count=new_counts, mu=new_mu, nu=new_nu)
             return (new_p, (adam,) + tuple(opt_state[1:])), loss
