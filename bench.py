@@ -122,9 +122,13 @@ def build_dataset(name, sim_params, Nt=856, F=790, C=1, P=14, n_chunk=8):
     cache = CACHE / name
     cache.mkdir(parents=True, exist_ok=True)
     if (cache / "data.tpqr").exists():
-        data = load(cache)
-        if data.Nt == Nt and data.F == F and data.C == C:
-            return data, cache
+        try:
+            data = load(cache)
+        except Exception:  # truncated by a killed run: rebuild
+            (cache / "data.tpqr").unlink()
+        else:
+            if data.Nt == Nt and data.F == F and data.C == C:
+                return data, cache
 
     per = Nt // n_chunk
     chunks = [

@@ -205,8 +205,12 @@ def save(obj: CosmosDataset, path) -> None:
     if obj.name is not None:
         payload["name"] = np.asarray(obj.name)
     payload["channels"] = np.asarray(list(obj.channels))
-    with open(path, "wb") as f:
+    # atomic write: a fit killed mid-save must not leave a truncated archive
+    # that poisons every later load of this workspace
+    tmp = path.with_name(path.name + ".tmp")
+    with open(tmp, "wb") as f:
         np.savez_compressed(f, **payload)
+    tmp.replace(path)
     logger.info(f"Data is saved in {path}")
 
 
