@@ -102,7 +102,7 @@ def main():
           f"{scan_total:.1f} ms -> {scan_total / n_steps:.3f} ms/step")
     print(f"{'ms/step':>9}  {'%':>5}  op")
     for k, v in sorted(whole.items(), key=lambda kv: -kv[1])[:40]:
-        print(f"{v / n_steps:9.4f}  {100 * v / scan_total:5.1f}  {k[:110]}")
+        print(f"{v / n_steps:9.4f}  {100 * v / scan_total:5.1f}  {k[:240]}")
     print(f"trace: {trace_dir}")
 
 

@@ -90,6 +90,44 @@ def _std_gamma_sample_jvp(primals, tangents):
     return z, dz
 
 
+def std_gamma_sample_packed(key, concs):
+    """One :func:`std_gamma_sample` over several concentration arrays,
+    flattened and concatenated; returns samples in matching shapes.
+
+    ``lax.random_gamma_grad`` (the implicit-reparam residual) lowers to a
+    pair of serialized convergence while-loops per call site; at eLife
+    scale the per-site calls cost ~0.9 ms/step of device time combined
+    (profiled round 4) while one call over the concatenated vector costs
+    about as much as the largest single site. The flatten/concat/split
+    overhead is a few hundred KB of contiguous copies - noise."""
+    shapes = [jnp.shape(c) for c in concs]
+    sizes = [int(math.prod(s)) for s in shapes]
+    flat = jnp.concatenate([jnp.reshape(c, (-1,)) for c in concs])
+    g = std_gamma_sample(key, flat)
+    out, o = [], 0
+    for s, n in zip(shapes, sizes):
+        out.append(jnp.reshape(jax.lax.slice_in_dim(g, o, o + n), s))
+        o += n
+    return out
+
+
+def beta_from_gamma_pair(g1, g0):
+    """Beta sample from its two Gamma draws, clipped strictly inside (0, 1)
+    exactly as :func:`affine_beta_sample` does."""
+    u = g1 / (g1 + g0)
+    eps = jnp.finfo(u.dtype).eps
+    return jnp.clip(u, eps, 1.0 - eps)
+
+
+def dirichlet_from_gammas(g):
+    """Dirichlet sample from its per-component Gamma draws (event axis
+    last), with :func:`dirichlet_sample`'s exact clipping/renormalization."""
+    out = g / g.sum(-1, keepdims=True)
+    eps = jnp.finfo(out.dtype).eps
+    out = jnp.clip(out, eps, 1.0)
+    return out / out.sum(-1, keepdims=True)
+
+
 # ---------------------------------------------------------------------------
 # Gamma (concentration/rate)
 # ---------------------------------------------------------------------------

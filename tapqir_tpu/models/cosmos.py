@@ -39,15 +39,18 @@ from jax.scipy.special import logsumexp
 
 from tapqir_tpu import constraints
 from tapqir_tpu.distributions.core import (
+    affine_beta_concentrations,
     affine_beta_log_prob,
     affine_beta_sample,
-    affine_beta_sample_stacked,
+    beta_from_gamma_pair,
+    dirichlet_from_gammas,
     dirichlet_log_prob,
     dirichlet_sample,
     exponential_log_prob,
     gamma_log_prob,
     gamma_sample,
     halfnormal_log_prob,
+    std_gamma_sample_packed,
 )
 from tapqir_tpu.distributions.ksmogn import (
     offset_gamma_log_prob_summed,
@@ -173,6 +176,17 @@ class cosmos(Model):
         return spec
 
     # -- ELBO -----------------------------------------------------------------
+    def _draw_batch(self, key, data):
+        """Subsampling draws + per-section keys, shared by :meth:`elbo` and
+        the window-space optimizer step (models/model.py:_build_step)."""
+        Nt, F = data["xy"].shape[0], data["xy"].shape[1]
+        n = min(self.nbatch_size, Nt)
+        f = min(self.fbatch_size, F)
+        k_n, k_f, k_global, k_local = jax.random.split(key, 4)
+        ndx = jax.random.permutation(k_n, Nt)[:n]
+        f0 = jax.random.randint(k_f, (), 0, F)
+        return ndx, f0, f, k_global, k_local
+
     def elbo(self, params_u, key, data, n_shards=1, frame_shards=1,
              return_batch=False):
         """Minibatch ELBO from UNCONSTRAINED parameters. ``data`` arrays may
@@ -181,47 +195,60 @@ class cosmos(Model):
         the psum over shards counts it once; ``frame_shards`` likewise divides
         the per-AOI prior term, which every frame shard of an AOI row
         otherwise contributes identically. ``return_batch=True`` also returns
-        the subsampled rows ``(ndx, fidx)`` so the optimizer can restrict its
-        update to exactly the parameters in this step's trace.
+        the subsampled rows ``(ndx, fidx)`` so callers can restrict work to
+        exactly the parameters in this step's trace.
 
         Constraint transforms are applied AFTER the batch gather (they are
         elementwise, so transform-then-gather == gather-then-transform) -
         transforming the full (K, Nt, F, Q) arrays every step would cost
         ~12M transcendentals + HBM round-trips at production scale."""
+        ndx, f0, f, k_global, k_local = self._draw_batch(key, data)
+        win = self.gather_windows(params_u, ndx, f0, f)
+        value = self.elbo_from_windows(
+            win, k_global, k_local, ndx, f0, f, data,
+            n_shards=n_shards, frame_shards=frame_shards,
+        )
+        if return_batch:
+            F = data["xy"].shape[1]
+            return value, (ndx, (f0 + jnp.arange(f)) % F)
+        return value
+
+    def elbo_from_windows(self, win, k_global, k_local, ndx, f0, f_b, data,
+                          n_shards=1, frame_shards=1):
+        """ELBO from pre-gathered parameter windows (see
+        :meth:`Model.gather_windows`). The optimizer step differentiates
+        THIS function so gradients are window-shaped - no full-size
+        scatter-add gradient arrays."""
         Nt, F = data["xy"].shape[0], data["xy"].shape[1]
-        n = min(self.nbatch_size, Nt)
-        f = min(self.fbatch_size, F)
-        k_n, k_f, k_global, k_local = jax.random.split(key, 4)
-        ndx = jax.random.permutation(k_n, Nt)[:n]
-        f0 = jax.random.randint(k_f, (), 0, F)
-        scale = (Nt / n) * (F / f)
+        n = ndx.shape[0]
+        scale = (Nt / n) * (F / f_b)
         scale_n = Nt / n
         local, aoi_term, global_term = self._elbo_terms(
-            params_u, k_global, k_local, ndx, f0, f, data
+            win, k_global, k_local, ndx, f0, f_b, data
         )
-        value = (
+        return (
             global_term / n_shards
             + aoi_term * scale_n / frame_shards
             + local * scale
         )
-        if return_batch:
-            return value, (ndx, (f0 + jnp.arange(f)) % F)
-        return value
 
-    def _elbo_terms(self, pu, key_global, key_local, ndx, f0, f_b, data):
+    def _elbo_terms(self, win, key_global, key_local, ndx, f0, f_b, data):
         """Returns (sum of local per-(n,f,c) terms, sum of per-AOI terms,
         global term) for the given batch. ``key_global`` drives the
         global-parameter samples; ``key_local`` drives the per-batch samples.
+        ``win`` holds UNCONSTRAINED parameter windows pre-gathered by
+        :meth:`Model.gather_windows`.
 
         Frame batching uses a cyclic contiguous window of ``f_b`` frames
         starting at random offset ``f0`` (uniform inclusion probability, so
         the subsampled-plate estimator stays unbiased). The (AOI-gather,
-        frame-window) pair is ONE flat row gather with precomputed indices
-        ``ndx * F + (f0 + arange(f_b)) % F`` on a (Nt*F, ...) view: giving
-        the big image parameter a second in-step consumer (a dynamic-slice
-        window after the row gather, or a concat+slice) makes XLA assign it
-        two layouts and relayout-copy the full stack every step (8.7 ms at
-        eLife scale, profiled); the single-gather form costs ~0."""
+        frame-window) pair for the DATA arrays is ONE flat row gather with
+        precomputed indices ``ndx * F + (f0 + arange(f_b)) % F`` on a
+        (Nt*F, ...) view: giving the big image array a second in-step
+        consumer (a dynamic-slice window after the row gather, or a
+        concat+slice) makes XLA assign it two layouts and relayout-copy the
+        full stack every step (8.7 ms at eLife scale, profiled); the
+        single-gather form costs ~0."""
         S, K, Q = self.S, self.K, self.Q
         P = self.data.P
         dtype = self.dtype
@@ -230,22 +257,6 @@ class cosmos(Model):
         wmin, wmax = priors["width_min"], priors["width_max"]
         prox_high = (P + 1) / math.sqrt(12)
 
-        gkeys = jax.random.split(key_global, 5)
-        lkeys = jax.random.split(key_local, 4)
-        keys = [gkeys[0], gkeys[1], gkeys[2], gkeys[3],
-                lkeys[0], lkeys[1], lkeys[2], lkeys[3], gkeys[4]]
-
-        # ---- batch gathers (gather unconstrained, then transform) -----------
-        # DATA arrays (no gradient): the (random AOI rows) x (cyclic frame
-        # window) batch is ONE flat row gather - collapse (Nt, F) to a flat
-        # leading axis and gather n*f precomputed indices. A second in-step
-        # access pattern on the big image parameter (slice-after-gather or
-        # concat+slice) splits its XLA layout assignment and relayout-copies
-        # the full stack every step (8.7 ms at eLife scale, profiled).
-        # PARAMETERS keep row-gather + contiguous concat+slice window: their
-        # backward must scatter-add into the full (K, Nt, F, Q) arrays, and
-        # the window form keeps that a dynamic-update-slice per row (~50 us)
-        # instead of an n*f-row scatter (0.2 ms PER PARAMETER, profiled).
         tf = self._transforms
         F_l = data["xy"].shape[1]
         n_b = ndx.shape[0]
@@ -262,23 +273,16 @@ class cosmos(Model):
             sub = jnp.take(flat, flat_ndx, 0)
             return sub.reshape((n_b, f_b) + arr.shape[2:])
 
-        def fwin(sub, axis):  # cyclic window of f_b frames along `axis`
-            if f_b == F_l:
-                return sub
-            ext = jnp.concatenate(
-                [sub, jax.lax.slice_in_dim(sub, 0, f_b, axis=axis)], axis=axis
-            )
-            return jax.lax.dynamic_slice_in_dim(ext, f0, f_b, axis=axis)
-
+        # parameter windows are pre-gathered (constrain-after-gather: the
+        # transforms are elementwise, so they commute with the gather)
         def pc(name):  # global parameter -> constrained
-            return tf[name](pu[name])
+            return tf[name](win[name])
 
-        def g2(name):  # (Nt, F, C) -> (n, f, C), constrained
-            return tf[name](fwin(jnp.take(pu[name], ndx, 0), axis=1))
+        def g2(name):  # window (n, f, C), constrained
+            return tf[name](win[name])
 
-        def gk(name):  # (K, Nt, F, Q) -> (n, f, Q, K), constrained
-            sub = fwin(jnp.take(pu[name], ndx, 1), axis=2)
-            return tf[name](jnp.moveaxis(sub, 0, -1))
+        def gk(name):  # window (K, n, f, Q) -> (n, f, Q, K), constrained
+            return tf[name](jnp.moveaxis(win[name], 0, -1))
 
         # images live flat-lane-padded on device: (Nt, F, C, EVP)
         obs = g2a(data["images"])  # (n, f, C, EVP)
@@ -286,16 +290,22 @@ class cosmos(Model):
         ont = jnp.take(data["is_ontarget"], ndx)  # (n,)
         mask = jnp.take(data["mask"], ndx)  # (n,)
 
-        # ---- global samples + ELBO terms ---------------------------------------
-        gain_conc = pc("gain_loc") * pc("gain_beta")
-        gain = gamma_sample(keys[0], gain_conc, pc("gain_beta"))
-        pi_conc = pc("pi_mean") * pc("pi_size")
-        pi = dirichlet_sample(keys[1], pi_conc)  # (Q, S+1)
-        lamda_conc = pc("lamda_loc") * pc("lamda_beta")
-        lamda = gamma_sample(keys[2], lamda_conc, pc("lamda_beta"))  # (Q,)
-        prox = affine_beta_sample(
-            keys[3], pc("proximity_loc"), pc("proximity_size"), 0.0, prox_high
+        # ---- local continuous guide params (gathered windows) -----------------
+        b_loc, b_beta = g2("b_loc"), g2("b_beta")
+        h_loc, h_beta = gk("h_loc"), gk("h_beta")  # (n, f, Q, K)
+        w_mean, w_size = gk("w_mean"), gk("w_size")
+        x_mean, y_mean = gk("x_mean"), gk("y_mean")
+        size = gk("size")
+        qm = gk("m_probs")
+
+        # ---- ALL guide-site draws in two packed std-gamma calls ----------------
+        gain, pi, lamda, prox, b, h, w, xs, ys, extras = self._sample_sites(
+            key_global, key_local, pc, b_loc, b_beta, h_loc, h_beta,
+            w_mean, w_size, x_mean, y_mean, size,
         )
+        gain_conc = pc("gain_loc") * pc("gain_beta")
+        pi_conc = pc("pi_mean") * pc("pi_size")
+        lamda_conc = pc("lamda_loc") * pc("lamda_beta")
 
         global_term = (
             halfnormal_log_prob(gain, priors["gain_std"])
@@ -313,11 +323,11 @@ class cosmos(Model):
                 prox, pc("proximity_loc"), pc("proximity_size"), 0.0, prox_high
             )
         )
-        global_term = self._extra_global_terms(pc, keys[8], global_term)  # pc is the getter fn
+        global_term = self._extra_global_terms(pc, extras, global_term)  # pc is the getter fn
 
         # ---- per-AOI Delta sites (MAP background hyper-params) -------------------
-        bm = tf["background_mean_loc"](jnp.take(pu["background_mean_loc"], ndx, 0))[:, 0, :]  # (n, C)
-        bs = tf["background_std_loc"](jnp.take(pu["background_std_loc"], ndx, 0))[:, 0, :]
+        bm = tf["background_mean_loc"](win["background_mean_loc"])[:, 0, :]  # (n, C)
+        bs = tf["background_std_loc"](win["background_std_loc"])[:, 0, :]
         aoi_term = (
             (
                 halfnormal_log_prob(bm, priors["background_mean_std"])
@@ -326,30 +336,11 @@ class cosmos(Model):
             * mask[:, None]
         ).sum()
 
-        # ---- local continuous: background -------------------------------------------
-        b_loc, b_beta = g2("b_loc"), g2("b_beta")
-        b = gamma_sample(keys[4], b_loc * b_beta, b_beta)  # (n, f, C)
+        # ---- local continuous log-probs ---------------------------------------
         lp_b = gamma_log_prob(
             b, (bm / bs)[:, None, :] ** 2, (bm / bs**2)[:, None, :]
         )
         lq_b = gamma_log_prob(b, b_loc * b_beta, b_beta)
-
-        # ---- local continuous: spot shapes -----------------------------------------
-        h_loc, h_beta = gk("h_loc"), gk("h_beta")  # (n, f, Q, K)
-        w_mean, w_size = gk("w_mean"), gk("w_size")
-        x_mean, y_mean = gk("x_mean"), gk("y_mean")
-        size = gk("size")
-        qm = gk("m_probs")
-
-        h = gamma_sample(keys[5], h_loc * h_beta, h_beta)
-        # one batched gamma call for all three AffineBeta sites (w, x, y)
-        w, xs, ys = affine_beta_sample_stacked(
-            keys[6],
-            [w_mean, x_mean, y_mean],
-            [w_size, size, size],
-            [wmin, -lim, -lim],
-            [wmax, lim, lim],
-        )
 
         local = self._local_marginalized(
             pc, obs, target_locs, ont, gain, pi, lamda, prox, b,
@@ -360,8 +351,77 @@ class cosmos(Model):
         local_sum = ((local + lp_b - lq_b) * mask[:, None, None]).sum()
         return local_sum, aoi_term, global_term
 
-    def _extra_global_terms(self, pc, key, global_term):
-        """Hook for subclasses (crosstalk alpha, hmm init/trans)."""
+    def _extra_global_concs(self, pc):
+        """Extra global Dirichlet sites to fold into the packed global draw
+        (crosstalk overrides with alpha). Returns (names, conc arrays with
+        the event axis last)."""
+        return [], []
+
+    def _sample_sites(
+        self, key_global, key_local, pc, b_loc, b_beta, h_loc, h_beta,
+        w_mean, w_size, x_mean, y_mean, size,
+    ):
+        """All guide-site draws in ONE packed std-gamma call.
+
+        Per-site sampler calls each pay a ``random_gamma_grad``
+        while-loop pair in the backward (~0.9 ms/step combined at eLife
+        scale, profiled round 4), and even a separate 6-element pack for
+        just the global sites costs ~0.45 ms/step of latency-bound
+        serialized iterations; riding the global elements along the big
+        local pack makes them free. ``key_local`` keys the merged draw
+        (``key_global`` is retained in the signature for the restart/shard
+        key-plumbing and the oracle). The estimator parity oracle
+        (tests/test_estimator_parity.py) draws its samples through THIS
+        method, then scores them with independent math.
+        """
+        del key_global  # merged draw (see docstring)
+        P = self.data.P
+        lim = (P + 1) / 2
+        wmin, wmax = self.priors["width_min"], self.priors["width_max"]
+        prox_high = (P + 1) / math.sqrt(12)
+
+        gain_conc = pc("gain_loc") * pc("gain_beta")
+        pi_conc = pc("pi_mean") * pc("pi_size")
+        lamda_conc = pc("lamda_loc") * pc("lamda_beta")
+        pg1, pg0 = affine_beta_concentrations(
+            pc("proximity_loc"), pc("proximity_size"), 0.0, prox_high
+        )
+        extra_names, extra_concs = self._extra_global_concs(pc)
+        wc1, wc0 = affine_beta_concentrations(w_mean, w_size, wmin, wmax)
+        xc1, xc0 = affine_beta_concentrations(x_mean, size, -lim, lim)
+        yc1, yc0 = affine_beta_concentrations(y_mean, size, -lim, lim)
+        g = std_gamma_sample_packed(
+            key_local,
+            [
+                jnp.reshape(gain_conc, (1,)),
+                lamda_conc,
+                jnp.reshape(pi_conc, (-1,)),
+                jnp.reshape(pg1, (1,)),
+                jnp.reshape(pg0, (1,)),
+            ]
+            + list(extra_concs)
+            + [b_loc * b_beta, h_loc * h_beta, wc1, xc1, yc1, wc0, xc0, yc0],
+        )
+        n_extra = len(extra_names)
+        gain = g[0][0] / pc("gain_beta")
+        lamda = g[1] / pc("lamda_beta")
+        pi = dirichlet_from_gammas(jnp.reshape(g[2], jnp.shape(pi_conc)))
+        prox = prox_high * beta_from_gamma_pair(g[3][0], g[4][0])
+        extras = {
+            nm: dirichlet_from_gammas(gg)
+            for nm, gg in zip(extra_names, g[5:5 + n_extra])
+        }
+        gb, gh, gw1, gx1, gy1, gw0, gx0, gy0 = g[5 + n_extra:]
+        b = gb / b_beta
+        h = gh / h_beta
+        w = wmin + (wmax - wmin) * beta_from_gamma_pair(gw1, gw0)
+        xs = -lim + 2 * lim * beta_from_gamma_pair(gx1, gx0)
+        ys = -lim + 2 * lim * beta_from_gamma_pair(gy1, gy0)
+        return gain, pi, lamda, prox, b, h, w, xs, ys, extras
+
+    def _extra_global_terms(self, pc, extras, global_term):
+        """Hook for subclasses (crosstalk alpha); ``extras`` holds the
+        packed-draw samples declared by :meth:`_extra_global_concs`."""
         return global_term
 
     def _dye_tables(
@@ -594,7 +654,28 @@ class cosmos(Model):
 
         Like the reference (cosmos.py:609-672), only on-target AOIs are
         evaluated (off-target rows stay zero) in (nbatch x fbatch) blocks.
+        With an active mesh (:meth:`Model.use_mesh`) the blocks run
+        shard-parallel via ``make_sharded_probs_fn`` instead.
         """
+        if getattr(self, "_mesh", None) is not None:
+            from tapqir_tpu.parallel.sharding import (
+                make_sharded_probs_fn,
+                shard_params_and_data,
+            )
+
+            params_sh, data_sh = shard_params_and_data(
+                self._mesh, self.params, self.param_partition(),
+                self._data_dev,
+            )
+            probs_fn = make_sharded_probs_fn(
+                self, self._mesh, num_particles=num_particles
+            )
+            key = jax.random.PRNGKey(0) if key is None else key
+            z_p, th_p = probs_fn(params_sh, key, data_sh)
+            return (
+                np.asarray(z_p, np.float64),
+                np.asarray(th_p, np.float64),
+            )
         data = self._data_dev
         pc = self.constrained()
         key = jax.random.PRNGKey(0) if key is None else key

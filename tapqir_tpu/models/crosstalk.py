@@ -76,12 +76,16 @@ class crosstalk(cosmos):
         spec["alpha_size"] = (np.full((Q, 1), 2.0), constraints.positive())
         return spec
 
-    def _extra_global_terms(self, pc, key, global_term):
+    def _extra_global_concs(self, pc):
+        """alpha joins the packed global draw (event axis last)."""
+        return ["alpha"], [pc("alpha_mean") * pc("alpha_size")]
+
+    def _extra_global_terms(self, pc, extras, global_term):
         """alpha ~ Dirichlet(1 + 9I) prior + guide entropy; the sample is
         stashed for the likelihood (reference: crosstalk.py:82-87,298-303)."""
         Q, C = self.Q, self.data.C
         alpha_conc = pc("alpha_mean") * pc("alpha_size")
-        alpha = dirichlet_sample(key, alpha_conc)  # (Q, C)
+        alpha = extras["alpha"]  # (Q, C)
         self._alpha_sample = alpha
         prior_conc = jnp.asarray(
             np.ones((Q, C)) + np.eye(Q, C) * 9.0, self.dtype

@@ -29,15 +29,18 @@ from jax.scipy.special import logsumexp
 
 from tapqir_tpu import constraints
 from tapqir_tpu.distributions.core import (
+    affine_beta_concentrations,
     affine_beta_log_prob,
     affine_beta_sample,
-    affine_beta_sample_stacked,
+    beta_from_gamma_pair,
+    dirichlet_from_gammas,
     dirichlet_log_prob,
     dirichlet_sample,
     exponential_log_prob,
     gamma_log_prob,
     gamma_sample,
     halfnormal_log_prob,
+    std_gamma_sample_packed,
 )
 from tapqir_tpu.distributions.ksmogn import offset_gamma_log_prob_summed
 from tapqir_tpu.distributions.util import expand_offtarget, gaussian_spots_flat
@@ -149,6 +152,37 @@ class hmm(cosmos):
         frame blocks) emulates a non-first frame shard on a single device -
         used by the exact parity tests.
         """
+        Nt = data["images"].shape[0]
+        n = min(self.nbatch_size, Nt)
+        k_n, key_global, key_local = jax.random.split(key, 3)
+        if key_ndx is not None:
+            k_n = key_ndx  # shared across the frame shards of a mesh row
+        ndx = jax.random.permutation(k_n, Nt)[:n]
+        win = self.gather_windows(params_u, ndx, None, None)
+        value = self.elbo_from_windows(
+            win, key_global, key_local, ndx, None, None, data,
+            n_shards=n_shards, frame_shards=frame_shards,
+            frame_axis=frame_axis, chain_prefix=chain_prefix,
+        )
+        if return_batch:
+            return value, (ndx, None)  # AOI-subsampled only: all frames
+        return value
+
+    def _draw_batch(self, key, data):
+        """AOI subsampling draw + per-section keys (no frame subsampling:
+        the z-chain needs every frame, reference hmm.py:119-125)."""
+        Nt = data["images"].shape[0]
+        n = min(self.nbatch_size, Nt)
+        k_n, k_global, k_local = jax.random.split(key, 3)
+        ndx = jax.random.permutation(k_n, Nt)[:n]
+        return ndx, None, None, k_global, k_local
+
+    def elbo_from_windows(self, win, key_global, key_local, ndx, f0, f_b,
+                          data, n_shards=1, frame_shards=1, frame_axis=None,
+                          chain_prefix=None):
+        """ELBO from pre-gathered parameter windows (full-frame AOI rows;
+        see :meth:`Model.gather_windows`). The optimizer step differentiates
+        THIS function so gradients stay window-shaped."""
         S, K, Q = self.S, self.K, self.Q
         S1 = S + 1
         P = self.data.P
@@ -158,28 +192,18 @@ class hmm(cosmos):
         wmin, wmax = priors["width_min"], priors["width_max"]
         prox_high = (P + 1) / math.sqrt(12)
         Nt = data["images"].shape[0]
-        n = min(self.nbatch_size, Nt)
+        n = ndx.shape[0]
         scale_n = Nt / n
-
-        k_n, key_global, key_local = jax.random.split(key, 3)
-        if key_ndx is not None:
-            k_n = key_ndx  # shared across the frame shards of a mesh row
-        ndx = jax.random.permutation(k_n, Nt)[:n]
-        gkeys = jax.random.split(key_global, 6)
-        lkeys = jax.random.split(key_local, 5)
-
         tf = self._transforms
 
         def pc(name):
-            return tf[name](params_u[name])
+            return tf[name](win[name])
 
-        def g1(name):  # (Nt, ...) -> (n, ...), constrained
-            return tf[name](jnp.take(params_u[name], ndx, 0))
+        def g1(name):  # window (n, ...), constrained
+            return tf[name](win[name])
 
-        def gk(name):  # (K, Nt, F, Q) -> (n, F, Q, K)
-            return tf[name](
-                jnp.moveaxis(jnp.take(params_u[name], ndx, 1), 0, -1)
-            )
+        def gk(name):  # window (K, n, F, Q) -> (n, F, Q, K), constrained
+            return tf[name](jnp.moveaxis(win[name], 0, -1))
 
         # images live flat-lane-padded on device: (Nt, F, C, EVP)
         obs = jnp.take(data["images"], ndx, 0)  # (n, F, C, EVP)
@@ -187,18 +211,50 @@ class hmm(cosmos):
         ont = jnp.take(data["is_ontarget"], ndx)
         mask = jnp.take(data["mask"], ndx)
 
-        # ---- global samples + terms ------------------------------------------
+        # ---- ALL guide-site draws: ONE packed std-gamma call (the global
+        # elements ride the big local pack - a separate tiny pack costs
+        # ~0.45 ms/step of latency-bound while iterations, profiled) --------
+        del key_global  # merged draw keyed by key_local
         gain_conc = pc("gain_loc") * pc("gain_beta")
-        gain = gamma_sample(gkeys[0], gain_conc, pc("gain_beta"))
         init_conc = pc("init_mean") * pc("init_size")
-        init = dirichlet_sample(gkeys[1], init_conc)  # (Q, S1)
         trans_conc = pc("trans_mean") * pc("trans_size")
-        trans = dirichlet_sample(gkeys[2], trans_conc)  # (Q, S1, S1)
         lamda_conc = pc("lamda_loc") * pc("lamda_beta")
-        lamda = gamma_sample(gkeys[3], lamda_conc, pc("lamda_beta"))
-        prox = affine_beta_sample(
-            gkeys[4], pc("proximity_loc"), pc("proximity_size"), 0.0, prox_high
+        pg1, pg0 = affine_beta_concentrations(
+            pc("proximity_loc"), pc("proximity_size"), 0.0, prox_high
         )
+        b_loc, b_beta = g1("b_loc"), g1("b_beta")  # (n, F, C)
+        h_loc, h_beta = gk("h_loc"), gk("h_beta")  # (n, F, Q, K)
+        w_mean, w_size = gk("w_mean"), gk("w_size")
+        x_mean, y_mean = gk("x_mean"), gk("y_mean")
+        size = gk("size")
+        wc1, wc0 = affine_beta_concentrations(w_mean, w_size, wmin, wmax)
+        xc1, xc0 = affine_beta_concentrations(x_mean, size, -lim, lim)
+        yc1, yc0 = affine_beta_concentrations(y_mean, size, -lim, lim)
+        (g_gain, g_lamda, g_init, g_trans, g_p1, g_p0,
+         gb, gh, gw1, gx1, gy1, gw0, gx0, gy0) = std_gamma_sample_packed(
+            key_local,
+            [
+                jnp.reshape(gain_conc, (1,)),
+                lamda_conc,
+                init_conc,
+                trans_conc,
+                jnp.reshape(pg1, (1,)),
+                jnp.reshape(pg0, (1,)),
+                b_loc * b_beta,
+                h_loc * h_beta,
+                wc1, xc1, yc1, wc0, xc0, yc0,
+            ],
+        )
+        gain = g_gain[0] / pc("gain_beta")
+        lamda = g_lamda / pc("lamda_beta")
+        init = dirichlet_from_gammas(g_init)  # (Q, S1)
+        trans = dirichlet_from_gammas(g_trans)  # (Q, S1, S1)
+        prox = prox_high * beta_from_gamma_pair(g_p1[0], g_p0[0])
+        b = gb / b_beta
+        h = gh / h_beta
+        w = wmin + (wmax - wmin) * beta_from_gamma_pair(gw1, gw0)
+        xs = -lim + 2 * lim * beta_from_gamma_pair(gx1, gx0)
+        ys = -lim + 2 * lim * beta_from_gamma_pair(gy1, gy0)
 
         global_term = (
             halfnormal_log_prob(gain, priors["gain_std"])
@@ -276,31 +332,14 @@ class hmm(cosmos):
         else:
             chain_term = init_term + interior_term
 
-        # ---- continuous samples ---------------------------------------------------
-        b_loc, b_beta = g1("b_loc"), g1("b_beta")  # (n, F, C)
-        b = gamma_sample(lkeys[0], b_loc * b_beta, b_beta)
+        # ---- continuous log-probs (samples drawn in the merged pack above) -----
         lp_b = gamma_log_prob(
             b, (bm / bs)[:, None, :] ** 2, (bm / bs**2)[:, None, :]
         )
         lq_b = gamma_log_prob(b, b_loc * b_beta, b_beta)
 
-        h_loc, h_beta = gk("h_loc"), gk("h_beta")  # (n, F, Q, K)
-        w_mean, w_size = gk("w_mean"), gk("w_size")
-        x_mean, y_mean = gk("x_mean"), gk("y_mean")
-        size = gk("size")
-        h = gamma_sample(lkeys[1], h_loc * h_beta, h_beta)
-        w, xs, ys = affine_beta_sample_stacked(
-            lkeys[2],
-            [w_mean, x_mean, y_mean],
-            [w_size, size, size],
-            [wmin, -lim, -lim],
-            [wmax, lim, lim],
-        )
-
-        # q(m | z): (S1, K, Nt, F, C) -> (S1, n, F, C, K)
-        qm = tf["m_probs"](
-            jnp.moveaxis(jnp.take(params_u["m_probs"], ndx, 2), 1, -1)
-        )
+        # q(m | z): window (S1, K, n, F, C) -> (S1, n, F, C, K)
+        qm = tf["m_probs"](jnp.moveaxis(win["m_probs"], 1, -1))
 
         # ---- per-frame local terms conditioned on z = s -----------------------------
         mtab = jnp.asarray(m_configs(K), dtype)  # (M, K)
@@ -377,12 +416,9 @@ class hmm(cosmos):
 
         frames_term = (gamma.transpose(3, 0, 1, 2) * ell).sum(0) + lp_b - lq_b
         local_sum = (frames_term.sum((1, 2)) + chain_term) * mask
-        value = global_term + (
+        return global_term + (
             aoi_term / frame_shards + local_sum.sum()
         ) * scale_n
-        if return_batch:
-            return value, (ndx, None)  # AOI-subsampled only: all frames
-        return value
 
     # -- posteriors (reference: hmm.py:541-667) -----------------------------------
     @property

@@ -39,6 +39,46 @@ CHECKPOINT_INTERVAL = 200  # reference: model.py:213-214
 MAX_CONSECUTIVE_RESTARTS = 10  # NaN -> reload+reseed attempts before failing
 
 
+def _fwin(sub, f0, f_b, axis):
+    """Cyclic contiguous window of ``f_b`` frames starting at traced offset
+    ``f0`` along ``axis`` - concat+dynamic-slice, all static shapes."""
+    ext = jnp.concatenate(
+        [sub, jax.lax.slice_in_dim(sub, 0, f_b, axis=axis)], axis=axis
+    )
+    return jax.lax.dynamic_slice_in_dim(ext, f0, f_b, axis=axis)
+
+
+def _unfwin(rows, win, f0, axis):
+    """Inverse of :func:`_fwin`: splice an updated cyclic window back into
+    the full-frame ``rows``, without data-dependent branching.
+
+    Extend rows by ``f_b`` frames, dynamic-update-slice the window at
+    ``f0`` (no wraparound in extended coordinates), then fold the tail back
+    onto the front: tail position ``g`` holds the updated value for global
+    frame ``g`` exactly when the window wrapped past it
+    (``g < f0 + f_b - F``)."""
+    F_l = rows.shape[axis]
+    f_b = win.shape[axis]
+    if f_b == F_l:
+        return win
+    ext = jnp.concatenate(
+        [rows, jax.lax.slice_in_dim(rows, 0, f_b, axis=axis)], axis=axis
+    )
+    ext = jax.lax.dynamic_update_slice_in_dim(ext, win, f0, axis=axis)
+    head = jax.lax.slice_in_dim(ext, 0, F_l, axis=axis)
+    tail = jax.lax.slice_in_dim(ext, F_l, F_l + f_b, axis=axis)
+    wrapped = jnp.arange(f_b) < (f0 + f_b - F_l)
+    vshape = (1,) * axis + (f_b,) + (1,) * (rows.ndim - axis - 1)
+    front = jnp.where(
+        wrapped.reshape(vshape),
+        tail,
+        jax.lax.slice_in_dim(head, 0, f_b, axis=axis),
+    )
+    return jnp.concatenate(
+        [front, jax.lax.slice_in_dim(head, f_b, F_l, axis=axis)], axis=axis
+    )
+
+
 def _default_progress(it):
     try:
         from tqdm import tqdm
@@ -248,6 +288,9 @@ class Model:
         self._tb_writer = None
         self._tb_failed = False
         self._build_step()
+        if getattr(self, "_mesh", None) is not None:
+            # re-shard after a NaN-recovery reload (run() calls init())
+            self._apply_mesh()
 
     def _row_groups(self):
         """Classify parameters by their minibatch row structure, derived from
@@ -270,6 +313,55 @@ class Model:
             else:
                 groups[name] = ("a", ax)
         return groups
+
+    def _window_spec(self):
+        """name -> (aoi_axis, frame_axis or None) for batched parameters,
+        derived from :meth:`param_partition`; global parameters are absent."""
+        spec = {}
+        for name, pspec in self.param_partition().items():
+            axes = tuple(pspec)
+            if "aoi" not in axes:
+                continue
+            a_ax = axes.index("aoi")
+            f_ax = axes.index("frame") if "frame" in axes else None
+            spec[name] = (a_ax, f_ax)
+        return spec
+
+    def gather_windows(self, tree, ndx, f0, f_b):
+        """Minibatch windows of a parameter-shaped tree: AOI rows ``ndx``
+        (x the cyclic ``f_b``-frame window at ``f0`` when frame subsampling
+        is active, ``f0 is not None``). Globals pass through unchanged."""
+        wspec = self._window_spec()
+        out = {}
+        for name, v in tree.items():
+            if name not in wspec:
+                out[name] = v
+                continue
+            a_ax, f_ax = wspec[name]
+            rows = jnp.take(v, ndx, a_ax)
+            if f0 is not None and f_ax is not None and f_b != v.shape[f_ax]:
+                rows = _fwin(rows, f0, f_b, f_ax)
+            out[name] = rows
+        return out
+
+    def scatter_windows(self, tree, win, ndx, f0, f_b):
+        """Inverse of :meth:`gather_windows`: write updated windows back
+        into the full arrays. The row re-gather here CSEs with the forward
+        gather; the write is one n-row scatter per parameter."""
+        wspec = self._window_spec()
+        out = {}
+        for name, v in tree.items():
+            if name not in wspec:
+                out[name] = win[name]
+                continue
+            a_ax, f_ax = wspec[name]
+            w = win[name]
+            if f0 is not None and f_ax is not None and f_b != v.shape[f_ax]:
+                rows = jnp.take(v, ndx, a_ax)
+                w = _unfwin(rows, w, f0, f_ax)
+            idx = (slice(None),) * a_ax + (ndx,)
+            out[name] = v.at[idx].set(w, unique_indices=True)
+        return out
 
     def _init_opt_state(self):
         """Adam state; with sparse updates the bias-correction step count is
@@ -319,10 +411,6 @@ class Model:
         def loss_fn(params_u, key, data):
             return -self.elbo(params_u, key, data)
 
-        def loss_fn_batch(params_u, key, data):
-            value, batch = self.elbo(params_u, key, data, return_batch=True)
-            return -value, batch
-
         def adam_math(g, mu, nu, p, t):
             """One Adam update on the given (sub)arrays; ``t`` broadcasts."""
             mu = b1 * mu + (1.0 - b1) * g
@@ -346,73 +434,92 @@ class Model:
             plain dense Adam would keep decaying the momentum of untouched
             rows and drift them. Bias correction uses per-row step counts.
 
-            Implemented as DENSE masked arithmetic, not gather/scatter: the
-            batch membership masks are algebraic (an AOI broadcast-compare
-            outer-product with the cyclic frame window), the Adam math runs
-            full-width, and ``where`` keeps untouched rows bit-identical.
-            A gather/update/scatter formulation is the textbook "sparse"
-            shape, but on TPU it reshapes every (.., Nt, F, ..) param + its
-            mu/nu to a flat row-major view and back each step; the layout
-            round-trips turn the training while-loop's carries into full
-            copies (~11 ms/step of relayout at eLife scale, profiled) and the
-            remat copies of the (K, Nt, F, C)-minor views OOM the crosstalk
-            compile outright. The masked form is one fused elementwise pass
-            per param (same traffic as dense optax Adam, ~1.5 ms/step),
-            layout-neutral, and exactly as sparse in its semantics."""
+            Implemented in WINDOW space: the batch rows/frames of every
+            parameter (and its mu/nu) are gathered with the same
+            take + cyclic-window slices the forward pass uses, the gradient
+            is taken w.r.t. the gathered windows (so the backward never
+            materializes full-size scatter-add gradient arrays), Adam runs
+            on the windows, and the results are spliced back with _unfwin +
+            one n-row scatter per array. Untouched rows are never read or
+            written - ~Nt/n times less optimizer HBM traffic than the
+            masked-dense formulation this replaces (which cost ~0.6 ms/step
+            of pure bandwidth at eLife scale, profiled round 4). Round 3's
+            failed gather/scatter attempt scattered n*f individual
+            frame-rows on a flat (Nt*F) view (0.2 ms/param relayouts); the
+            window form scatters n whole AOI rows on the native layout."""
             params_u, opt_state = carry
             adam = opt_state[0]
             counts = adam.count
-            (loss, (ndx, fidx)), grads = jax.value_and_grad(
-                loss_fn_batch, has_aux=True
-            )(params_u, key, data)
             Nt_l, F_l = data["xy"].shape[0], data["xy"].shape[1]
-            aoi_mask = (jnp.arange(Nt_l)[:, None] == ndx[None, :]).any(1)
-            if fidx is None:  # AOI-subsampled only (hmm): all frames
-                af_mask = jnp.broadcast_to(aoi_mask[:, None], (Nt_l, F_l))
-            else:
-                frame_mask = (
-                    jnp.arange(F_l)[:, None] == fidx[None, :]
-                ).any(1)
-                af_mask = aoi_mask[:, None] & frame_mask[None, :]
+            ndx, f0, f_b, k_global, k_local = self._draw_batch(key, data)
+            win = self.gather_windows(params_u, ndx, f0, f_b)
 
+            def loss_fn_win(w):
+                return -self.elbo_from_windows(
+                    w, k_global, k_local, ndx, f0, f_b, data
+                )
+
+            loss, g_win = jax.value_and_grad(loss_fn_win)(win)
+            mu_win = self.gather_windows(adam.mu, ndx, f0, f_b)
+            nu_win = self.gather_windows(adam.nu, ndx, f0, f_b)
+
+            # per-row-group step counts: bump the gathered window rows only
             new_counts = {"g": counts["g"] + 1}
             t_g = new_counts["g"]
-            masks, corr = {}, {}
-            for grp, m in (("a", aoi_mask), ("af", af_mask)):
-                if grp in counts:
-                    new_counts[grp] = counts[grp] + m.reshape(-1).astype(
-                        counts[grp].dtype
-                    )
-                    # t=0 rows (never yet sampled) would give 1-b^0 = 0; the
-                    # max(t,1) value is arbitrary there - masked out below
-                    t = jnp.maximum(new_counts[grp], 1).astype(
-                        jnp.float32
-                    ).reshape(m.shape)
-                    corr[grp] = (1.0 - b1**t, 1.0 - b2**t)
-                    masks[grp] = m
+            t_win = {}
+            if "a" in counts:
+                t_a = jnp.take(counts["a"], ndx) + 1
+                new_counts["a"] = counts["a"].at[ndx].set(
+                    t_a, unique_indices=True
+                )
+                t_win["a"] = t_a  # (n,)
+            if "af" in counts:
+                view = counts["af"].reshape(Nt_l, F_l)
+                rows = jnp.take(view, ndx, 0)  # (n, F)
+                if f_b is not None and f_b != F_l:
+                    t_af = _fwin(rows, f0, f_b, 1) + 1
+                    rows_new = _unfwin(rows, t_af, f0, 1)
+                else:
+                    t_af = rows + 1
+                    rows_new = t_af
+                new_counts["af"] = (
+                    view.at[ndx].set(rows_new, unique_indices=True)
+                ).reshape(-1)
+                t_win["af"] = t_af  # (n, f_b) or (n, F)
 
-            new_p, new_mu, new_nu = {}, {}, {}
-            for name, p in params_u.items():
-                g, mu, nu = grads[name], adam.mu[name], adam.nu[name]
-                kind, ax = groups[name]
+            corr = {
+                grp: (1.0 - b1 ** t.astype(jnp.float32),
+                      1.0 - b2 ** t.astype(jnp.float32))
+                for grp, t in t_win.items()
+            }
+            wspec = self._window_spec()
+
+            p_w, mu_w, nu_w = {}, {}, {}
+            for name, p in win.items():
+                g, mu, nu = g_win[name], mu_win[name], nu_win[name]
+                kind, _ = groups[name]
                 if kind == "g":
-                    new_mu[name], new_nu[name], new_p[name] = adam_math(
+                    mu_w[name], nu_w[name], p_w[name] = adam_math(
                         g, mu, nu, p, t_g
                     )
                     continue
-                m = masks[kind]
+                a_ax, f_ax = wspec[name]
                 c1, c2 = corr[kind]
-                bshape = (1,) * ax + m.shape + (1,) * (p.ndim - ax - m.ndim)
-                m_b = m.reshape(bshape)
+                bshape = [1] * p.ndim
+                bshape[a_ax] = c1.shape[0]
+                if kind == "af":
+                    bshape[f_ax] = c1.shape[1]
+                c1 = c1.reshape(bshape)
+                c2 = c2.reshape(bshape)
                 mu2 = b1 * mu + (1.0 - b1) * g
                 nu2 = b2 * nu + (1.0 - b2) * g * g
-                p2 = p - lr * (mu2 / c1.reshape(bshape)) / (
-                    jnp.sqrt(nu2 / c2.reshape(bshape)) + eps
-                )
-                new_mu[name] = jnp.where(m_b, mu2, mu)
-                new_nu[name] = jnp.where(m_b, nu2, nu)
-                new_p[name] = jnp.where(m_b, p2, p)
+                p_w[name] = p - lr * (mu2 / c1) / (jnp.sqrt(nu2 / c2) + eps)
+                mu_w[name] = mu2
+                nu_w[name] = nu2
 
+            new_p = self.scatter_windows(params_u, p_w, ndx, f0, f_b)
+            new_mu = self.scatter_windows(adam.mu, mu_w, ndx, f0, f_b)
+            new_nu = self.scatter_windows(adam.nu, nu_w, ndx, f0, f_b)
             adam = adam._replace(count=new_counts, mu=new_mu, nu=new_nu)
             return (new_p, (adam,) + tuple(opt_state[1:])), loss
 
@@ -430,6 +537,68 @@ class Model:
 
         def run_chunk(params_u, opt_state, key, nsteps):
             return run_chunk_fn(params_u, opt_state, key, self._data_dev, nsteps)
+
+        self._run_chunk = run_chunk
+
+    # -- multi-chip ------------------------------------------------------------
+    def use_mesh(self, mesh) -> None:
+        """Route training through an ("aoi", "frame") device mesh.
+
+        Shards the dataset and the per-AOI/per-frame variational parameters
+        (per :meth:`param_partition`) over the mesh, swaps ``_run_chunk``
+        for the shard_map'd step (parallel/sharding.py), and switches the
+        optimizer to the dense optax-Adam state the sharded step uses
+        (checkpoints stay interchangeable: ``load_checkpoint`` +
+        ``_coerce_opt_state`` read either format). Everything else -
+        ``run``'s convergence loop, checkpointing, NaN recovery - is
+        unchanged; ``jax.device_get`` gathers sharded arrays transparently.
+        Call after :meth:`init`; survives the NaN reload path (``init``
+        re-applies the mesh)."""
+        self._mesh = mesh
+        self._apply_mesh()
+
+    def _apply_mesh(self):
+        from tapqir_tpu.parallel.sharding import (
+            make_sharded_train_fn,
+            shard_params_and_data,
+        )
+
+        mesh = self._mesh
+        # the sharded step updates with plain optax Adam (scalar count)
+        self.sparse_adam = False
+        param_specs = self.param_partition()
+        self.params, self._data_dev = shard_params_and_data(
+            mesh, self.params, param_specs, self._data_dev
+        )
+        adam_old = self.opt_state[0]
+        count = (
+            adam_old.count["g"]
+            if isinstance(adam_old.count, dict)
+            else adam_old.count
+        )
+        from jax.sharding import NamedSharding
+
+        def put(tree):
+            return {
+                k: jax.device_put(v, NamedSharding(mesh, param_specs[k]))
+                for k, v in tree.items()
+            }
+
+        base = self.tx.init(self.params)
+        self.opt_state = (
+            base[0]._replace(
+                count=jnp.asarray(count),
+                mu=put(adam_old.mu),
+                nu=put(adam_old.nu),
+            ),
+        ) + tuple(base[1:])
+
+        sharded_chunk = make_sharded_train_fn(self, mesh, self.tx)
+
+        def run_chunk(params_u, opt_state, key, nsteps):
+            return sharded_chunk(
+                params_u, opt_state, key, self._data_dev, nsteps
+            )
 
         self._run_chunk = run_chunk
 

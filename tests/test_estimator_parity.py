@@ -107,9 +107,6 @@ def naive_cosmos_elbo(model, pu, key):
     frames = (
         list(range(F)) if f_b == F else [(f0 + j) % F for j in range(f_b)]
     )
-    gkeys = jax.random.split(k_global, 5)
-    lkeys = jax.random.split(k_local, 4)
-
     tfm = model._transforms
     pc = {k: np.asarray(tfm[k](v), np.float64) for k, v in pu.items()}
 
@@ -126,31 +123,27 @@ def naive_cosmos_elbo(model, pu, key):
     off_s = np.asarray(data.offset.samples, np.float64)
     off_logw = np.log(np.asarray(data.offset.weights, np.float64))
 
-    # ---- samples: same sampler calls, same keys and shapes -----------------
-    gain = float(gamma_sample(gkeys[0], pc["gain_loc"] * pc["gain_beta"],
-                              pc["gain_beta"]))
-    pi = np.asarray(dirichlet_sample(gkeys[1], pc["pi_mean"] * pc["pi_size"]))
-    lamda = np.asarray(gamma_sample(gkeys[2], pc["lamda_loc"] * pc["lamda_beta"],
-                                    pc["lamda_beta"]))
-    prox = float(affine_beta_sample(gkeys[3], pc["proximity_loc"],
-                                    pc["proximity_size"], 0.0, prox_high))
+    # ---- samples: drawn through the model's packed sampler (same keys and
+    # shapes as the production path; the draws themselves are golden-tested
+    # against scipy separately), then SCORED with this file's independent
+    # loop/scipy math -------------------------------------------------------
     b_loc, b_beta = g2("b_loc"), g2("b_beta")
-    b = np.asarray(gamma_sample(lkeys[0], b_loc * b_beta, b_beta))
     h_loc, h_beta = gk("h_loc"), gk("h_beta")
     w_mean, w_size = gk("w_mean"), gk("w_size")
     x_mean, y_mean = gk("x_mean"), gk("y_mean")
     size = gk("size")
     qm = gk("m_probs")
-    h = np.asarray(gamma_sample(lkeys[1], h_loc * h_beta, h_beta))
-    w, xs, ys = (
-        np.asarray(a)
-        for a in affine_beta_sample_stacked(
-            lkeys[2],
-            [w_mean, x_mean, y_mean],
-            [w_size, size, size],
-            [wmin, -lim, -lim],
-            [wmax, lim, lim],
-        )
+    draws = model._sample_sites(
+        k_global, k_local, lambda name: jnp.asarray(pc[name]),
+        jnp.asarray(b_loc), jnp.asarray(b_beta),
+        jnp.asarray(h_loc), jnp.asarray(h_beta),
+        jnp.asarray(w_mean), jnp.asarray(w_size),
+        jnp.asarray(x_mean), jnp.asarray(y_mean), jnp.asarray(size),
+    )
+    gain, pi, lamda, prox, b, h, w, xs, ys, _extras = draws
+    gain, prox = float(gain), float(prox)
+    pi, lamda, b, h, w, xs, ys = (
+        np.asarray(a) for a in (pi, lamda, b, h, w, xs, ys)
     )
 
     # ---- global term -------------------------------------------------------
@@ -376,8 +369,10 @@ def test_cosmos_flat_window_gather_is_cyclic(cosmos_f64):
             k: jnp.roll(v, -f0, axis=frame_axis[k]) if k in frame_axis else v
             for k, v in model.params.items()
         }
-        a = terms(model.params, kg, kl, ndx, jnp.asarray(f0), fb, data)
-        b = terms(pu_roll, kg, kl, ndx, jnp.asarray(0), fb, rolled)
+        win_a = model.gather_windows(model.params, ndx, jnp.asarray(f0), fb)
+        win_b = model.gather_windows(pu_roll, ndx, jnp.asarray(0), fb)
+        a = terms(win_a, kg, kl, ndx, jnp.asarray(f0), fb, data)
+        b = terms(win_b, kg, kl, ndx, jnp.asarray(0), fb, rolled)
         for x, y in zip(a, b):
             np.testing.assert_allclose(
                 np.asarray(x).sum(), np.asarray(y).sum(), rtol=1e-9,
@@ -425,9 +420,6 @@ def naive_crosstalk_elbo(model, pu, key):
     frames = (
         list(range(F)) if f_b == F else [(f0 + j) % F for j in range(f_b)]
     )
-    gkeys = jax.random.split(k_global, 5)
-    lkeys = jax.random.split(k_local, 4)
-
     tfm = model._transforms
     pc = {k: np.asarray(tfm[k](v), np.float64) for k, v in pu.items()}
 
@@ -444,34 +436,27 @@ def naive_crosstalk_elbo(model, pu, key):
     off_s = np.asarray(data.offset.samples, np.float64)
     off_logw = np.log(np.asarray(data.offset.weights, np.float64))
 
-    gain = float(gamma_sample(gkeys[0], pc["gain_loc"] * pc["gain_beta"],
-                              pc["gain_beta"]))
-    pi = np.asarray(dirichlet_sample(gkeys[1], pc["pi_mean"] * pc["pi_size"]))
-    lamda = np.asarray(gamma_sample(gkeys[2], pc["lamda_loc"] * pc["lamda_beta"],
-                                    pc["lamda_beta"]))
-    prox = float(affine_beta_sample(gkeys[3], pc["proximity_loc"],
-                                    pc["proximity_size"], 0.0, prox_high))
-    alpha = np.asarray(dirichlet_sample(
-        gkeys[4], pc["alpha_mean"] * pc["alpha_size"]
-    ))  # (Q, C)
+    # draws through the model's packed sampler (same keys); alpha arrives
+    # via the extras dict declared by crosstalk._extra_global_concs
     b_loc, b_beta = g2("b_loc"), g2("b_beta")
-    b = np.asarray(gamma_sample(lkeys[0], b_loc * b_beta, b_beta))
     h_loc, h_beta = gk("h_loc"), gk("h_beta")
     w_mean, w_size = gk("w_mean"), gk("w_size")
     x_mean, y_mean = gk("x_mean"), gk("y_mean")
     size = gk("size")
     qm = gk("m_probs")
-    h = np.asarray(gamma_sample(lkeys[1], h_loc * h_beta, h_beta))
-    w, xs, ys = (
-        np.asarray(a)
-        for a in affine_beta_sample_stacked(
-            lkeys[2],
-            [w_mean, x_mean, y_mean],
-            [w_size, size, size],
-            [wmin, -lim, -lim],
-            [wmax, lim, lim],
-        )
+    draws = model._sample_sites(
+        k_global, k_local, lambda name: jnp.asarray(pc[name]),
+        jnp.asarray(b_loc), jnp.asarray(b_beta),
+        jnp.asarray(h_loc), jnp.asarray(h_beta),
+        jnp.asarray(w_mean), jnp.asarray(w_size),
+        jnp.asarray(x_mean), jnp.asarray(y_mean), jnp.asarray(size),
     )
+    gain, pi, lamda, prox, b, h, w, xs, ys, extras = draws
+    gain, prox = float(gain), float(prox)
+    pi, lamda, b, h, w, xs, ys = (
+        np.asarray(a) for a in (pi, lamda, b, h, w, xs, ys)
+    )
+    alpha = np.asarray(extras["alpha"])  # (Q, C)
 
     # global term = cosmos global + alpha prior/guide
     global_term = (
@@ -673,8 +658,6 @@ def naive_hmm_elbo(model, pu, key):
 
     k_n, k_global, k_local = jax.random.split(key, 3)
     ndx = np.asarray(jax.random.permutation(k_n, Nt)[:n])
-    gkeys = jax.random.split(k_global, 6)
-    lkeys = jax.random.split(k_local, 5)
 
     tfm = model._transforms
     pc = {k: np.asarray(tfm[k](v), np.float64) for k, v in pu.items()}
@@ -686,37 +669,56 @@ def naive_hmm_elbo(model, pu, key):
     off_s = np.asarray(data.offset.samples, np.float64)
     off_logw = np.log(np.asarray(data.offset.weights, np.float64))
 
-    gain = float(gamma_sample(gkeys[0], pc["gain_loc"] * pc["gain_beta"],
-                              pc["gain_beta"]))
-    init = np.asarray(dirichlet_sample(
-        gkeys[1], pc["init_mean"] * pc["init_size"]))  # (Q, S1)
-    trans = np.asarray(dirichlet_sample(
-        gkeys[2], pc["trans_mean"] * pc["trans_size"]))  # (Q, S1, S1)
-    lamda = np.asarray(gamma_sample(
-        gkeys[3], pc["lamda_loc"] * pc["lamda_beta"], pc["lamda_beta"]))
-    prox = float(affine_beta_sample(gkeys[4], pc["proximity_loc"],
-                                    pc["proximity_size"], 0.0, prox_high))
-    b_loc, b_beta = pc["b_loc"][ndx], pc["b_beta"][ndx]
-    b = np.asarray(gamma_sample(lkeys[0], b_loc * b_beta, b_beta))
+    # draws mirror hmm.elbo's two packed std-gamma calls (same keys, same
+    # ordering); the scoring below stays loop/scipy-independent
+    from tapqir_tpu.distributions.core import (
+        affine_beta_concentrations,
+        beta_from_gamma_pair,
+        dirichlet_from_gammas,
+        std_gamma_sample_packed,
+    )
 
     def gk(name):
         return np.moveaxis(pc[name][:, ndx], 0, -1)  # (n, F, Q, K)
 
+    b_loc, b_beta = pc["b_loc"][ndx], pc["b_beta"][ndx]
     h_loc, h_beta = gk("h_loc"), gk("h_beta")
     w_mean, w_size = gk("w_mean"), gk("w_size")
     x_mean, y_mean = gk("x_mean"), gk("y_mean")
     size = gk("size")
-    h = np.asarray(gamma_sample(lkeys[1], h_loc * h_beta, h_beta))
-    w, xs, ys = (
-        np.asarray(a)
-        for a in affine_beta_sample_stacked(
-            lkeys[2],
-            [w_mean, x_mean, y_mean],
-            [w_size, size, size],
-            [wmin, -lim, -lim],
-            [wmax, lim, lim],
-        )
+
+    pg1, pg0 = affine_beta_concentrations(
+        pc["proximity_loc"], pc["proximity_size"], 0.0, prox_high
     )
+    wc1, wc0 = affine_beta_concentrations(w_mean, w_size, wmin, wmax)
+    xc1, xc0 = affine_beta_concentrations(x_mean, size, -lim, lim)
+    yc1, yc0 = affine_beta_concentrations(y_mean, size, -lim, lim)
+    # ONE merged pack, mirroring hmm.elbo_from_windows (k_global unused
+    # there for the same reason)
+    (gg_gain, gg_lamda, gg_init, gg_trans, gg_p1, gg_p0,
+     gb, gh, gw1, gx1, gy1, gw0, gx0, gy0) = std_gamma_sample_packed(
+        k_local,
+        [
+            jnp.reshape(jnp.asarray(pc["gain_loc"] * pc["gain_beta"]), (1,)),
+            jnp.asarray(pc["lamda_loc"] * pc["lamda_beta"]),
+            jnp.asarray(pc["init_mean"] * pc["init_size"]),
+            jnp.asarray(pc["trans_mean"] * pc["trans_size"]),
+            jnp.reshape(jnp.asarray(pg1), (1,)),
+            jnp.reshape(jnp.asarray(pg0), (1,)),
+        ]
+        + [jnp.asarray(a) for a in
+           (b_loc * b_beta, h_loc * h_beta, wc1, xc1, yc1, wc0, xc0, yc0)],
+    )
+    gain = float(gg_gain[0] / pc["gain_beta"])
+    lamda = np.asarray(gg_lamda / pc["lamda_beta"])
+    init = np.asarray(dirichlet_from_gammas(gg_init))  # (Q, S1)
+    trans = np.asarray(dirichlet_from_gammas(gg_trans))  # (Q, S1, S1)
+    prox = float(prox_high * beta_from_gamma_pair(gg_p1[0], gg_p0[0]))
+    b = np.asarray(gb / b_beta)
+    h = np.asarray(gh / h_beta)
+    w = np.asarray(wmin + (wmax - wmin) * beta_from_gamma_pair(gw1, gw0))
+    xs = np.asarray(-lim + 2 * lim * beta_from_gamma_pair(gx1, gx0))
+    ys = np.asarray(-lim + 2 * lim * beta_from_gamma_pair(gy1, gy0))
     # hmm m_probs is (S1, K, Nt, F, C) -> (S1, n, F, C, K)
     qm = np.moveaxis(pc["m_probs"][:, :, ndx], 1, -1)
     A = pc["z_trans"][ndx]  # (n, F, C, S1, S1)

@@ -195,3 +195,70 @@ print("OK", float(loss))
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "OK" in out.stdout
+
+
+def test_coerce_opt_state_bias_correction_bound(tmp_path):
+    """`_coerce_opt_state` fills per-row Adam counts with the global step
+    count on a restarts/sharded handoff (model.py). For a row sampled with
+    probability r = n/Nt the true count is ~r*t, so the approximation
+    rescales the bias-corrected update by
+        factor(t_r, t_g) = [(1-b1^t_r)/(1-b1^t_g)] *
+                           sqrt[(1-b2^t_g)/(1-b2^t_r)]
+    This test measures the actual one-step update difference between a
+    coerced state and a truthful per-row-count state and asserts it is (a)
+    bounded by that analytic factor and (b) < 5% once the handoff happens
+    at >= 10k iterations with r >= 1/4 - the documented regime where the
+    approximation is safe. Globals (always stepped) must match exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    data = simulate("cosmos", N=4, F=16, C=1, P=14, seed=3, params=PARAMS)
+    save(data, tmp_path)
+
+    t_g = 10000
+    rate = 0.25  # n/Nt = 1/4
+    t_r = int(t_g * rate)
+
+    def one_step_from(counts_value):
+        model = models["cosmos"]()
+        model.load(tmp_path)
+        # n=1 of Nt=4 rows per step -> sampling rate 1/4
+        model.init(lr=0.005, nbatch_size=1, fbatch_size=16)
+        adam = model.opt_state[0]
+        # non-trivial momenta so the update is not zero
+        key = jax.random.PRNGKey(0)
+        mu = {k: 1e-3 * jax.random.normal(jax.random.fold_in(key, i), v.shape)
+              for i, (k, v) in enumerate(adam.mu.items())}
+        nu = {k: jnp.full_like(v, 1e-6) for k, v in adam.nu.items()}
+        counts = {k: jnp.full_like(v, counts_value[k])
+                  for k, v in adam.count.items()}
+        model.opt_state = (adam._replace(mu=mu, nu=nu, count=counts),) + \
+            tuple(model.opt_state[1:])
+        p0 = model.params
+        p1, _, _ = model._run_chunk(p0, model.opt_state, jax.random.PRNGKey(7), 1)
+        return {k: np.asarray(p1[k] - p0[k]) for k in p0}
+
+    # truthful per-row counts vs the coerced (global-count) approximation
+    upd_true = one_step_from({"g": t_g, "a": t_r, "af": t_r})
+    upd_coerced = one_step_from({"g": t_g, "a": t_g, "af": t_g})
+
+    b1, b2 = 0.9, 0.999
+    factor = ((1 - b1 ** t_r) / (1 - b1 ** t_g)) * np.sqrt(
+        (1 - b2 ** t_g) / (1 - b2 ** t_r)
+    )
+    bound = abs(factor - 1.0)
+    assert bound < 0.05, f"analytic bound {bound:.3f} not <5% at t_g={t_g}"
+
+    for k in upd_true:
+        a, b = upd_true[k], upd_coerced[k]
+        moved = np.abs(a) > 0
+        if not moved.any():
+            continue
+        rel = np.abs(b[moved] - a[moved]) / np.abs(a[moved])
+        if k in ("gain_loc", "gain_beta", "proximity_loc", "proximity_size",
+                 "lamda_loc", "lamda_beta", "pi_mean", "pi_size"):
+            assert rel.max() < 1e-6, f"global {k} must be exact"
+        else:
+            assert rel.max() <= bound * 1.01 + 1e-6, (
+                f"{k}: measured {rel.max():.4f} exceeds analytic {bound:.4f}"
+            )
