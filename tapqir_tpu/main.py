@@ -193,12 +193,17 @@ def glimpse(dataset, P, num_channels, offset_x, offset_y, offset_P, bin_size,
             ontarget_labels, offtarget_labels, overwrite, no_input):
     """Extract AOIs from raw glimpse images -> ``data.tpqr``
     (reference: tapqir/main.py:66-318)."""
+    import copy
+
     from tapqir_tpu.imscroll import read_glimpse
 
     logger = logging.getLogger("tapqir")
     cd = DEFAULTS["cd"]
 
-    channels = DEFAULTS.get("channels") or []
+    # deep-copied: prompted values must not leak into DEFAULTS (and thence
+    # into later commands in the same process) unless --overwrite persists
+    # them below
+    channels = copy.deepcopy(DEFAULTS.get("channels") or [])
     for c in range(num_channels):
         if c >= len(channels):
             channels.append({})
@@ -275,6 +280,49 @@ def glimpse(dataset, P, num_channels, offset_x, offset_y, offset_P, bin_size,
     return 0
 
 
+def _resolve_mesh(model, mesh_opt, logger):
+    """Build an ("aoi", "frame") device mesh from the --mesh option.
+
+    "auto": AOI-shard over every visible device when more than one is
+    present (largest device count that divides Nt); "none"/"off"/"1x1":
+    single device; "AxB": explicit mesh shape (must divide Nt and F).
+    Returns None for the single-device path."""
+    import jax
+
+    if mesh_opt in (None, "none", "off", "1x1"):
+        return None
+    from tapqir_tpu.parallel.sharding import make_mesh
+
+    Nt, F = model.data.Nt, model.data.F
+    devs = jax.devices()
+    if mesh_opt == "auto":
+        if len(devs) <= 1:
+            return None
+        d = len(devs)
+        while d > 1 and Nt % d != 0:
+            d -= 1
+        if d <= 1:
+            logger.warning(
+                f"{len(devs)} devices visible but none of 2..{len(devs)} "
+                f"divides Nt={Nt}; running single-device (pass --mesh AxB "
+                "to force a shape)"
+            )
+            return None
+        logger.info(f"Auto mesh: {d} aoi x 1 frame over {len(devs)} devices")
+        return make_mesh(d, 1)
+    try:
+        n_a, n_f = (int(x) for x in mesh_opt.lower().split("x"))
+    except ValueError:
+        raise click.UsageError(f"--mesh must be 'auto', 'none' or 'AxB', got {mesh_opt!r}")
+    if n_a * n_f <= 1:
+        return None
+    if Nt % n_a or F % n_f:
+        raise click.UsageError(
+            f"mesh {n_a}x{n_f} must divide the dataset: Nt={Nt}, F={F}"
+        )
+    return make_mesh(n_a, n_f)
+
+
 def _make_model(model, S, k_max, cpu, dtype, mixed_kernel=None):
     from tapqir_tpu.models import models
 
@@ -310,8 +358,15 @@ def _make_model(model, S, k_max, cpu, dtype, mixed_kernel=None):
 @click.option("--k-max", "-k", type=int, default=2,
               help="Maximum number of spots per image")
 @click.option("--num-restarts", "-R", type=int, default=1,
-              help="Batched random restarts: run R vmapped SVI chains and "
-                   "keep the best (by trailing -ELBO)")
+              help="Batched random restarts: run R vmapped SVI chains for "
+                   "--restart-iter steps, keep the best (by trailing -ELBO) "
+                   "and continue it to convergence")
+@click.option("--restart-iter", type=int, default=2000,
+              help="Warm-up iterations per restart chain before selection")
+@click.option("--mesh", type=str, default="auto",
+              help="Multi-chip mesh: 'auto' (AOI-shard over all visible "
+                   "devices), 'none', or an explicit 'AxB' (aoi x frame) "
+                   "shape that divides the dataset")
 @click.option("--matlab", is_flag=True,
               default=lambda: bool(get_default("matlab", False)),
               help="Save parameters in matlab format")
@@ -329,8 +384,8 @@ def _make_model(model, S, k_max, cpu, dtype, mixed_kernel=None):
 @click.option("--no-input", is_flag=True, default=False,
               help="Disable interactive prompt.")
 def fit(model, S, cpu, nbatch_size, fbatch_size, learning_rate, num_iter,
-        k_max, num_restarts, matlab, dtype, profile, mixed_kernel, overwrite,
-        no_input):
+        k_max, num_restarts, restart_iter, mesh, matlab, dtype, profile,
+        mixed_kernel, overwrite, no_input):
     """Fit the data to the selected model (reference: tapqir/main.py:321-485).
 
     Available models: cosmos (time-independent), cosmos+hmm (hidden Markov),
@@ -365,6 +420,12 @@ def fit(model, S, cpu, nbatch_size, fbatch_size, learning_rate, num_iter,
         DEFAULTS["fbatch-size"] = fbatch_size
         DEFAULTS["learning-rate"] = learning_rate
         DEFAULTS["matlab"] = matlab
+        # persist the model topology so stats/ttfb/dwelltime reconstruct the
+        # same model the checkpoint was fit with (a default-S/K reconstruction
+        # would silently mismatch a -S 2 / -k 3 fit)
+        DEFAULTS["model"] = model
+        DEFAULTS["S"] = S
+        DEFAULTS["k-max"] = k_max
         _save_config()
 
     logger.info("Fitting the data ...")
@@ -379,22 +440,48 @@ def fit(model, S, cpu, nbatch_size, fbatch_size, learning_rate, num_iter,
         out = m.profile_trace(num_steps=profile)
         logger.info(f"Profiler trace written to {out}")
         return 0
+    mesh_obj = None if cpu else _resolve_mesh(m, mesh, logger)
     try:
         if num_restarts > 1:
-            from tapqir_tpu.parallel.restarts import fit_restarts
-
-            logger.info(f"Running {num_restarts} batched random restarts ...")
-            losses, best = fit_restarts(
-                m, num_restarts=num_restarts,
-                num_iter=num_iter or 2000,
-                progress=lambda it, loss: logger.info(
-                    f"restarts @{it}: best -ELBO {loss:.1f}"
-                ),
+            # warm-up phase: R independent chains, keep the best ...
+            progress = lambda it, loss: logger.info(  # noqa: E731
+                f"restarts @{it}: best -ELBO {loss:.1f}"
             )
+            logger.info(f"Running {num_restarts} batched random restarts ...")
+            if mesh_obj is not None:
+                from tapqir_tpu.parallel.sharding import fit_restarts_sharded
+
+                losses, best = fit_restarts_sharded(
+                    m, mesh_obj, num_restarts=num_restarts,
+                    num_iter=restart_iter, progress=progress,
+                )
+            else:
+                from tapqir_tpu.parallel.restarts import fit_restarts
+
+                losses, best = fit_restarts(
+                    m, num_restarts=num_restarts, num_iter=restart_iter,
+                    progress=progress,
+                )
             logger.info(f"Selected restart #{best}")
+            import json as _json
+
+            with open(m.run_path / f"{m.name}_restarts.json", "w") as fh:
+                _json.dump(
+                    {
+                        "num_restarts": num_restarts,
+                        "restart_iter": restart_iter,
+                        "best_chain": int(best),
+                        "final_losses": [float(x) for x in losses[:, -1]],
+                    },
+                    fh,
+                )
             m.save_checkpoint()
-        else:
-            m.run(num_iter, progress_bar=_progress())
+            # ... then continue the winning chain to num_iter/convergence
+            logger.info("Continuing the winning chain ...")
+
+        if mesh_obj is not None:
+            m.use_mesh(mesh_obj)
+        m.run(num_iter, progress_bar=_progress())
     except TpuOutOfMemoryError:
         logger.exception("Failed to fit the data")
         sys.exit(1)
@@ -407,21 +494,28 @@ def fit(model, S, cpu, nbatch_size, fbatch_size, learning_rate, num_iter,
 
 
 @app.command()
-@click.option("--model", type=click.Choice(AVAIL_MODELS), default="cosmos",
+@click.option("--model", type=click.Choice(AVAIL_MODELS),
+              default=lambda: get_default("model", "cosmos"),
               help="Tapqir model")
-@click.option("-S", "--num-states", "S", type=int, default=1)
+@click.option("-S", "--num-states", "S", type=int,
+              default=lambda: get_default("S", 1))
 @click.option("--cpu/--cuda", "cpu", default=False)
 @click.option("--nbatch-size", "-n", type=int,
               default=lambda: get_default("nbatch-size", 10))
 @click.option("--fbatch-size", "-f", type=int,
               default=lambda: get_default("fbatch-size", 512))
-@click.option("--k-max", "-k", type=int, default=2)
+@click.option("--k-max", "-k", type=int,
+              default=lambda: get_default("k-max", 2))
 @click.option("--matlab", is_flag=True, default=False,
               help="Save parameters in matlab format")
 @click.option("--dtype", type=click.Choice(["float32", "double"]),
               default="float32")
+@click.option("--mesh", type=str, default="auto",
+              help="Multi-chip mesh for the posterior-marginal computation "
+                   "('auto', 'none', or 'AxB')")
 @click.option("--no-input", is_flag=True, default=False)
-def stats(model, S, cpu, nbatch_size, fbatch_size, k_max, matlab, dtype, no_input):
+def stats(model, S, cpu, nbatch_size, fbatch_size, k_max, matlab, dtype,
+          mesh, no_input):
     """Compute credible intervals and other statistics
     (reference: tapqir/main.py:488-576)."""
     from tapqir_tpu.exceptions import TapqirFileNotFoundError
@@ -447,6 +541,9 @@ def stats(model, S, cpu, nbatch_size, fbatch_size, k_max, matlab, dtype, no_inpu
     except TapqirFileNotFoundError as err:
         logger.exception(f"Failed to load {err.name} file")
         sys.exit(1)
+    mesh_obj = None if cpu else _resolve_mesh(m, mesh, logger)
+    if mesh_obj is not None:
+        m._mesh = mesh_obj  # shard the posterior-marginal blocks only
     m.compute_stats(save_matlab=matlab)
     logger.info("Computing stats: Done")
     return 0
@@ -519,7 +616,12 @@ def subset():
 
 
 @app.command()
-@click.option("--model", type=click.Choice(AVAIL_MODELS), default="cosmos")
+@click.option("--model", type=click.Choice(AVAIL_MODELS),
+              default=lambda: get_default("model", "cosmos"))
+@click.option("-S", "--num-states", "S", type=int,
+              default=lambda: get_default("S", 1))
+@click.option("--k-max", "-k", type=int,
+              default=lambda: get_default("k-max", 2))
 @click.option("--binary/--probabilistic", "binary", default=False,
               help="Plot a binary or probabilistic rastergram")
 @click.option("--cpu/--cuda", "cpu", default=False)
@@ -527,7 +629,7 @@ def subset():
               help="Number of posterior samples")
 @click.option("--num-iter", "-it", type=int, default=15000,
               help="Number of MLE iterations")
-def ttfb(model, binary, cpu, num_samples, num_iter):
+def ttfb(model, S, k_max, binary, cpu, num_samples, num_iter):
     """Time-to-first-binding analysis (reference: tapqir/main.py:926-1147)."""
     import pandas as pd
 
@@ -540,7 +642,8 @@ def ttfb(model, binary, cpu, num_samples, num_iter):
     logger = logging.getLogger("tapqir")
     cd = Path(DEFAULTS["cd"])
 
-    m = models[model](device=_device_settings(cpu), dtype="float32")
+    m = models[model](S=S, K=k_max, device=_device_settings(cpu),
+                      dtype="float32")
     try:
         m.load(cd, data_only=False)
         m.init(DEFAULTS.get("learning-rate", 0.005),
@@ -624,13 +727,18 @@ def ttfb(model, binary, cpu, num_samples, num_iter):
 
 
 @app.command()
-@click.option("--model", type=click.Choice(AVAIL_MODELS), default="cosmos")
+@click.option("--model", type=click.Choice(AVAIL_MODELS),
+              default=lambda: get_default("model", "cosmos"))
+@click.option("-S", "--num-states", "S", type=int,
+              default=lambda: get_default("S", 1))
+@click.option("--k-max", "-k", type=int,
+              default=lambda: get_default("k-max", 2))
 @click.option("-K", "--num-exponentials", "K", type=int, default=3,
               help="Number of exponentials")
 @click.option("--cpu/--cuda", "cpu", default=False)
 @click.option("--num-samples", "-n", type=int, default=500)
 @click.option("--num-iter", "-it", type=int, default=10000)
-def dwelltime(model, K, cpu, num_samples, num_iter):
+def dwelltime(model, S, k_max, K, cpu, num_samples, num_iter):
     """Dwell-time analysis: kon / koff from K-exponential MLE fits
     (reference: tapqir/main.py:1150-1384)."""
     import pandas as pd
@@ -649,7 +757,8 @@ def dwelltime(model, K, cpu, num_samples, num_iter):
     logger = logging.getLogger("tapqir")
     cd = Path(DEFAULTS["cd"])
 
-    m = models[model](device=_device_settings(cpu), dtype="float32")
+    m = models[model](S=S, K=k_max, device=_device_settings(cpu),
+                      dtype="float32")
     try:
         m.load(cd, data_only=False)
         m.init(DEFAULTS.get("learning-rate", 0.005),

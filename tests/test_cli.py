@@ -222,3 +222,75 @@ def test_show_and_log_commands(tmp_path, monkeypatch):
     result = runner.invoke(app, ["--cd", str(tmp_path), "log"])
     assert result.exit_code == 0, result.output + repr(result.exception)
     assert pages and "tapqir" in pages[0]
+
+
+def test_fit_and_stats_mesh_cli(tmp_path):
+    """Multi-chip through the CLI (VERDICT r3 #4): `fit --mesh 4x2` routes
+    through the sharded train step on the 8-virtual-device mesh, writes a
+    checkpoint the single-device path can read, and `stats --mesh` shards
+    the posterior-marginal blocks."""
+    data = simulate(
+        "cosmos", N=8, F=6, C=1, P=14, seed=0, params=_sim_params("cosmos")
+    )
+    save(data, tmp_path)
+    result = runner.invoke(app, [
+        "--cd", str(tmp_path), "fit",
+        "--model", "cosmos", "-S", "1",
+        "--nbatch-size", "4", "--fbatch-size", "3",
+        "--num-iter", "2", "--mesh", "4x2", "--no-input",
+    ])
+    assert result.exit_code == 0, result.output + repr(result.exception)
+    assert (tmp_path / f"cosmos_params.tpqr").exists()
+
+    # the sharded checkpoint loads on the single-device path (scalar Adam
+    # count coerced to per-row counts) and training continues
+    from tapqir_tpu.models import models
+
+    m = models["cosmos"]()
+    m.load(tmp_path)
+    m.init(0.005, nbatch_size=4, fbatch_size=3)
+    assert m.iter == 2
+    m.run(2, progress_bar=lambda it: it)
+    assert m.iter == 4
+
+    result = runner.invoke(app, [
+        "--cd", str(tmp_path), "stats",
+        "--model", "cosmos",
+        "--nbatch-size", "4", "--fbatch-size", "3",
+        "--mesh", "4x2", "--no-input",
+    ])
+    assert result.exit_code == 0, result.output + repr(result.exception)
+    assert (tmp_path / "cosmos_summary.csv").exists()
+
+
+def test_fit_restarts_continues_to_convergence(tmp_path):
+    """`fit -R 2 --restart-iter K --num-iter N` must train past the restart
+    warm-up: the winning chain continues for N more iterations (VERDICT r3
+    #5) and the winner is persisted."""
+    import json
+
+    data = simulate(
+        "cosmos", N=2, F=5, C=1, P=14, seed=0, params=_sim_params("cosmos")
+    )
+    save(data, tmp_path)
+    result = runner.invoke(app, [
+        "--cd", str(tmp_path), "fit",
+        "--model", "cosmos", "-S", "1",
+        "--nbatch-size", "2", "--fbatch-size", "5",
+        "-R", "2", "--restart-iter", "4", "--num-iter", "3",
+        "--cpu", "--no-input",
+    ])
+    assert result.exit_code == 0, result.output + repr(result.exception)
+    meta = json.loads(
+        (tmp_path / ".tapqir" / "cosmos_restarts.json").read_text()
+    )
+    assert meta["best_chain"] in (0, 1)
+    assert len(meta["final_losses"]) == 2
+
+    from tapqir_tpu.models import models
+
+    m = models["cosmos"]()
+    m.load(tmp_path)
+    m.init(0.005, nbatch_size=2, fbatch_size=5)
+    # 4 warm-up + 3 continuation iterations
+    assert m.iter == 7
