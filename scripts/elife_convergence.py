@@ -1,15 +1,20 @@
-"""eLife-DatasetA-scale convergence run (VERDICT r2 directive #3).
+"""eLife-DatasetA-scale convergence run (VERDICT r2 #3, r3 #3/#6).
 
 The real eLife 2022 DatasetA (gelles-brandeis, doi 10.7554/eLife.73860) is
 not fetchable in this offline environment, so this runs the largest honest
 proxy: a simulated dataset at EXACTLY the reference workload's shape -
 Nt = 856 AOIs (DatasetA is 331 on-target + 525 off-target; the simulator's
-split is 428 + 428, same total), F = 790 frames, P = 14, C = 1, with
-ground-truth labels retained - fit with the reference's documented defaults
-(lr 5e-3, 10 AOI x 512 frame minibatch, convergence-criterion stopping;
-reference docs/source/tutorials/part_ii_linux.rst:76-203 budget 100k iters).
+split is 428 + 428, same total), F = 790 frames, P = 14, with ground-truth
+labels retained - fit with the reference's documented defaults (lr 5e-3,
+10 AOI x 512 frame minibatch, convergence-criterion stopping; reference
+docs/source/tutorials/part_ii_linux.rst:76-203 budget 100k iters).
 
-Produces, under --out (default /tmp/tapqir_elife/cosmos):
+``--model`` selects the family: cosmos (C=1), crosstalk (C=2 dyes, alpha
+bleed-through), cosmos+hmm (C=1, kon/koff Markov chain, full-F batches; the
+converged fit is additionally pushed through the ttfb and dwelltime CLIs to
+recover the kinetic rates).
+
+Produces, under --out (default /tmp/tapqir_elife/<model>):
 
 * a full SVI fit to CONVERGENCE on the ambient device (TPU), wall-clocked;
 * p(specific) posterior probabilities, MCC / Recall / Precision vs the
@@ -18,7 +23,7 @@ Produces, under --out (default /tmp/tapqir_elife/cosmos):
 * a single JSON line on stdout with the headline numbers, which
   docs/elife_scale_run.md records.
 
-Run:  python scripts/elife_convergence.py [--iters 0] [--out DIR]
+Run:  python scripts/elife_convergence.py [--model M] [--iters 0] [--out DIR]
 (iters 0 = run until the rolling convergence criterion fires.)
 """
 
@@ -38,13 +43,26 @@ SIM_PARAMS = {
 }
 
 
-def build_dataset(out: Path, Nt=856, F=790, P=14, n_chunk=8):
+def model_sim_params(model_name):
+    p = dict(SIM_PARAMS)
+    if model_name == "crosstalk":
+        p["alpha"] = [[0.85, 0.15], [0.1, 0.9]]
+    elif model_name == "cosmos+hmm":
+        del p["pi"]
+        p.update(kon=0.02, koff=0.2)
+    return p
+
+
+def build_dataset(out: Path, model_name="cosmos", Nt=856, F=790, P=14,
+                  n_chunk=8):
     """Simulate the eLife-scale dataset in AOI chunks, KEEPING labels."""
     from tapqir_tpu.utils.dataset import (
         CosmosDataset, OffsetData, load, save,
     )
     from tapqir_tpu.utils.simulate import simulate
 
+    C = 2 if model_name == "crosstalk" else 1
+    sim_params = model_sim_params(model_name)
     out.mkdir(parents=True, exist_ok=True)
     if (out / "data.tpqr").exists():
         data = load(out)
@@ -53,7 +71,7 @@ def build_dataset(out: Path, Nt=856, F=790, P=14, n_chunk=8):
 
     per = Nt // n_chunk
     chunks = [
-        simulate("cosmos", N=per, F=F, C=1, P=P, seed=i, params=SIM_PARAMS)
+        simulate(model_name, N=per, F=F, C=C, P=P, seed=i, params=sim_params)
         for i in range(n_chunk)
     ]
     centers = np.arange(60, 121, dtype=np.float64)
@@ -77,30 +95,73 @@ def build_dataset(out: Path, Nt=856, F=790, P=14, n_chunk=8):
         images=images, xy=xy, is_ontarget=is_ontarget,
         labels=labels,
         offset=OffsetData(centers, w),
-        name="elife-scale-cosmos",
+        name=f"elife-scale-{model_name}",
     )
     save(data, out)
     return data
 
 
+def recover_kinetics(out: Path):
+    """Run the ttfb + dwelltime CLIs on the converged hmm fit and collect
+    the recovered rates (VERDICT r3 #6)."""
+    import pandas as pd
+    from click.testing import CliRunner
+
+    from tapqir_tpu.main import app
+
+    runner = CliRunner()
+    rates = {}
+    r = runner.invoke(app, [
+        "--cd", str(out), "ttfb", "--model", "cosmos+hmm",
+        "--num-samples", "500", "--num-iter", "5000",
+    ])
+    if r.exit_code == 0:
+        df = pd.read_csv(out / "cosmos+hmm_ttfb-params-channel0.csv",
+                         index_col=0)
+        rates["ttfb"] = {k: round(float(df.loc[k, "Mean"]), 5)
+                         for k in df.index}
+    else:
+        rates["ttfb_error"] = str(r.exception)[:200]
+    r = runner.invoke(app, [
+        "--cd", str(out), "dwelltime", "--model", "cosmos+hmm",
+        "--num-samples", "200", "--num-iter", "5000", "-K", "1",
+    ])
+    if r.exit_code == 0:
+        kon = pd.read_csv(out / "cosmos+hmm_dwelltime-kon-channel0.csv",
+                          index_col=0)
+        koff = pd.read_csv(out / "cosmos+hmm_dwelltime-koff-channel0.csv",
+                           index_col=0)
+        rates["kon"] = {k: round(float(kon.loc[k, "Mean"]), 5)
+                        for k in kon.index}
+        rates["koff"] = {k: round(float(koff.loc[k, "Mean"]), 5)
+                         for k in koff.index}
+    else:
+        rates["dwelltime_error"] = str(r.exception)[:200]
+    return rates
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="cosmos",
+                    choices=["cosmos", "crosstalk", "cosmos+hmm"])
     ap.add_argument("--iters", type=int, default=0,
                     help="0 = run to convergence (max 100k)")
-    ap.add_argument("--out", type=Path,
-                    default=Path("/tmp/tapqir_elife/cosmos"))
+    ap.add_argument("--out", type=Path, default=None)
     args = ap.parse_args()
+    out = args.out or Path("/tmp/tapqir_elife") / args.model.replace("+", "_")
 
     import jax
 
     from tapqir_tpu.models import models
 
-    data = build_dataset(args.out)
-    model = models["cosmos"]()
+    data = build_dataset(out, model_name=args.model)
+    model = models[args.model]()
     model.data = data
-    model.path = args.out
-    model.run_path = args.out / ".tapqir"
-    model.init(lr=0.005, nbatch_size=10, fbatch_size=512)
+    model.path = out
+    model.run_path = out / ".tapqir"
+    # hmm's z-chain needs every frame per batch row (no frame subsampling)
+    fbatch = data.F if args.model == "cosmos+hmm" else 512
+    model.init(lr=0.005, nbatch_size=10, fbatch_size=fbatch)
     # checkpoint cadence 200 (reference), but fetch/write the full state
     # only every 10th checkpoint: the 43 MB state costs ~3 s through the
     # axon tunnel and would dominate the wall clock
@@ -123,10 +184,11 @@ def main():
     # headline posterior quantities
     p_spec = np.asarray(model.z_probs)[..., 1:].sum(-1)  # (Nt, F, Q)
     n_on = int(data.is_ontarget.sum())
-    out = {
+    result = {
         "metric": "elife_scale_convergence_run",
+        "model": args.model,
         "device": jax.devices()[0].platform,
-        "Nt": data.Nt, "F": data.F, "P": data.P,
+        "Nt": data.Nt, "F": data.F, "P": data.P, "C": data.C,
         "iters": iters,
         "converged": bool(model.converged),
         "wall_fit_s": round(wall_fit, 1),
@@ -139,13 +201,16 @@ def main():
             for k, v in summary.loc[
                 [i for i in summary.index
                  if str(i).split("_")[0] in
-                 ("gain", "pi", "lamda", "proximity", "SNR", "MCC",
-                  "Recall", "Precision")],
+                 ("gain", "pi", "alpha", "init", "trans", "lamda",
+                  "proximity", "SNR", "MCC", "Recall", "Precision")],
                 "Mean",
             ].items()
         },
     }
-    print(json.dumps(out))
+    if args.model == "cosmos+hmm":
+        result["kinetics"] = recover_kinetics(out)
+        result["kinetics"]["truth"] = {"kon": 0.02, "koff": 0.2}
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -37,8 +37,26 @@ class Transform:
         return self.forward(u)
 
 
+# Saturation bound for exp-based transforms. Sites whose gradient is
+# near-zero for thousands of steps (e.g. h_beta on frames whose spot
+# probability has converged to ~0) still take full-size Adam steps
+# (mu/sqrt(nu) ~ +-1 regardless of gradient magnitude), so the
+# unconstrained value random-walks; once it crosses ~88.7, float32
+# exp(u) is inf, the next ELBO is NaN and the fit rolls back to the
+# last checkpoint (observed every 2-5k iters late in the eLife-scale
+# run, docs/elife_scale_run.md). Clamping the exponent at +-30
+# (constrained value in [9.4e-14, 1.1e13], far outside any physical
+# parameter range) zeroes the gradient at the rail, which drains the
+# Adam momentum and stops the walk instead of rolling back.
+_EXP_CLAMP = 30.0
+
+
+def _bounded_exp(u):
+    return jnp.exp(jnp.clip(u, -_EXP_CLAMP, _EXP_CLAMP))
+
+
 def positive() -> Transform:
-    return Transform(jnp.exp, jnp.log, "positive")
+    return Transform(_bounded_exp, jnp.log, "positive")
 
 
 # Saturation floor for sigmoid-based transforms. In float32, sigmoid(u)
@@ -73,7 +91,7 @@ def interval(low: float, high: float) -> Transform:
 
 def greater_than(lb: float) -> Transform:
     def fwd(u):
-        return lb + jnp.exp(u)
+        return lb + _bounded_exp(u)
 
     def inv(x):
         return jnp.log(x - lb)

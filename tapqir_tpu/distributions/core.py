@@ -79,15 +79,120 @@ def std_gamma_sample(key, conc):
     return jnp.maximum(z, tiny)
 
 
+# When True, the sampler JVP uses XLA's exact iterative IgammaGradA
+# (lax.random_gamma_grad) instead of the branch-free torch-parity
+# approximation below. Exposed for accuracy cross-checks in tests.
+EXACT_GAMMA_GRAD = False
+
+
+def standard_gamma_grad(alpha, x):
+    """dz/dalpha for z ~ Gamma(alpha, 1): the pathwise (reparameterized)
+    gradient -dF/dalpha / f(z), evaluated with the three-regime
+    approximation of Knowles (2015) exactly as PyTorch's
+    ``standard_gamma_grad_one`` implements it (ATen Distributions.h; BSD) -
+    i.e. THE gradient the reference's pyro SVI uses, since torch's
+    ``_standard_gamma`` backward runs this same algorithm:
+
+    * x < 0.8: 6-term Taylor series of the incomplete-gamma pair;
+    * alpha > 8: Rice saddle-point expansion (central/tail sub-cases);
+    * else: bivariate rational approximation in (log(x/a), log a).
+
+    On TPU this is branch-free straight-line VPU code (every regime is
+    computed and combined with ``where``); XLA's exact IgammaGradA lowers
+    to serialized convergence while-loops costing ~1.1 ms/step at eLife
+    scale (profiled round 4) vs ~0.02 ms for this.
+    """
+    dtype = jnp.result_type(alpha, x)
+    alpha = jnp.asarray(alpha, dtype)
+    x = jnp.asarray(x, dtype)
+    tiny = jnp.finfo(dtype).tiny
+
+    # ---- regime 1: Taylor series for small x ------------------------------
+    xs = jnp.minimum(x, 0.8)  # clamp out-of-regime values (discarded below)
+    numer = jnp.ones_like(xs)
+    denom = alpha
+    series1 = numer / denom
+    series2 = numer / (denom * denom)
+    for i in range(1, 6):
+        numer = numer * (-xs / i)
+        denom = denom + 1.0
+        series1 = series1 + numer / denom
+        series2 = series2 + numer / (denom * denom)
+    log_xs = jnp.log(jnp.maximum(xs, tiny))
+    pow_x_alpha = jnp.exp(alpha * log_xs)
+    gamma_pdf = jnp.exp((alpha - 1.0) * log_xs - xs)
+    gamma_cdf = pow_x_alpha * series1
+    gamma_cdf_alpha = (
+        (log_xs - digamma(alpha)) * gamma_cdf - pow_x_alpha * series2
+    )
+    r_small = -gamma_cdf_alpha / jnp.maximum(gamma_pdf, tiny)
+    r_small = jnp.where(jnp.isfinite(r_small), r_small, 0.0)
+
+    # ---- regime 2: Rice saddle-point expansion for large alpha ------------
+    al = jnp.maximum(alpha, 8.0)
+    # central band |x - alpha| <= 0.1 alpha
+    numer_1 = 1.0 + 24.0 * al * (1.0 + 12.0 * al)
+    numer_2 = (
+        1440.0 * (al * al)
+        + 6.0 * x * (53.0 - 120.0 * x)
+        - 65.0 * x * x / al
+        + al * (107.0 + 3600.0 * x)
+    )
+    denom_c = 1244160.0 * (al * al) * (al * al)
+    r_central = numer_1 * numer_2 / denom_c
+    # tails
+    diff = jnp.where(jnp.abs(al - x) < 1e-6 * al, 1e-6 * al, al - x)
+    denom_t = jnp.sqrt(8.0 * al)
+    term2 = denom_t / diff
+    arg = jnp.maximum(x - al - al * jnp.log(jnp.maximum(x, tiny) / al), tiny)
+    term3 = arg ** -1.5
+    term23 = jnp.where(x < al, term2 - term3, term2 + term3)
+    term1 = (
+        jnp.log(jnp.maximum(x, tiny) / al) * term23
+        - jnp.sqrt(2.0 / al) * (al + x) / (diff * diff)
+    )
+    stirling = 1.0 + 1.0 / (12.0 * al) * (1.0 + 1.0 / (24.0 * al))
+    r_tail = -stirling * x * term1 / denom_t
+    r_large = jnp.where(
+        (0.9 * al <= x) & (x <= 1.1 * al), r_central, r_tail
+    )
+
+    # ---- regime 3: bivariate rational approximation -----------------------
+    u = jnp.log(jnp.maximum(x, tiny) / jnp.maximum(alpha, tiny))
+    v = jnp.log(jnp.maximum(alpha, tiny))
+    coef_uv = [
+        [0.16009398, -0.094634809, 0.025146376, -0.0030648343,
+         1.0, 0.32668115, 0.10406089, 0.0014179084],
+        [0.53487893, 0.1298071, 0.065735949, -0.0015649758,
+         0.16639465, 0.020070113, -0.0035938915, -0.00058392623],
+        [0.040121004, -0.0065914022, -0.0026286047, -0.0013441777,
+         0.017050642, -0.0021309326, 0.00085092367, -1.5247877e-07],
+    ]
+    coef_v = [
+        coef_uv[0][i] + u * (coef_uv[1][i] + u * coef_uv[2][i])
+        for i in range(8)
+    ]
+    p = coef_v[0] + v * (coef_v[1] + v * (coef_v[2] + v * coef_v[3]))
+    q = coef_v[4] + v * (coef_v[5] + v * (coef_v[6] + v * coef_v[7]))
+    r_mid = jnp.exp(p / q)
+
+    out = jnp.where(x < 0.8, r_small, jnp.where(alpha > 8.0, r_large, r_mid))
+    return jnp.where(jnp.isfinite(out), out, 0.0)
+
+
 @std_gamma_sample.defjvp
 def _std_gamma_sample_jvp(primals, tangents):
-    """Implicit reparameterization (Figurnov et al. 2018), the same gradient
-    jax.random.gamma uses: dz/da = -dF/da / f(z) via lax.random_gamma_grad."""
+    """Implicit reparameterization (Figurnov et al. 2018): dz/da = -dF/da
+    / f(z), via :func:`standard_gamma_grad` (the torch-parity branch-free
+    evaluation; set ``EXACT_GAMMA_GRAD`` for XLA's iterative exact op)."""
     key, conc = primals
     _, dconc = tangents
     z = std_gamma_sample(key, conc)
-    dz = jax.lax.random_gamma_grad(jnp.asarray(conc), z) * dconc
-    return z, dz
+    if EXACT_GAMMA_GRAD:
+        g = jax.lax.random_gamma_grad(jnp.asarray(conc), z)
+    else:
+        g = standard_gamma_grad(jnp.asarray(conc), z)
+    return z, g * dconc
 
 
 def std_gamma_sample_packed(key, concs):

@@ -318,3 +318,51 @@ def test_sigmoid_transforms_never_saturate():
     # round trip still works away from saturation
     t = constraints.unit_interval()
     np.testing.assert_allclose(np.asarray(t(t.inverse(0.3))), 0.3, rtol=1e-5)
+
+
+def test_positive_transform_clamps_instead_of_overflowing():
+    """float32 exp(u) is inf for u > ~88.7; a near-zero-gradient site can
+    random-walk there under Adam (docs/elife_scale_run.md's h_beta NaNs).
+    The exp-based transforms must saturate finitely, with zero gradient at
+    the rail (draining momentum) and exact exp inside the usable range."""
+    import jax
+
+    from tapqir_tpu import constraints
+
+    for t in (constraints.positive(), constraints.greater_than(2.0)):
+        hi = t(jnp.asarray(120.0, jnp.float32))
+        lo = t(jnp.asarray(-120.0, jnp.float32))
+        assert np.isfinite(hi) and np.isfinite(lo)
+        assert lo >= (2.0 if "greater" in t.name else 0.0)
+        g = jax.grad(lambda u: jnp.sum(t(u)))(jnp.asarray(120.0, jnp.float32))
+        assert g == 0.0, "gradient must vanish at the clamp rail"
+        u = jnp.asarray(3.7, jnp.float32)
+        base = 2.0 if "greater" in t.name else 0.0
+        np.testing.assert_allclose(t(u) - base, np.exp(3.7), rtol=1e-6)
+
+
+def test_standard_gamma_grad_matches_exact_igamma_grad():
+    """The branch-free torch-parity gamma reparam gradient must agree with
+    XLA's exact iterative IgammaGradA to the accuracy torch itself delivers
+    (~1e-3 relative) across the full working range of concentrations and
+    quantiles."""
+    import jax
+    from scipy.stats import gamma as sp_gamma
+
+    from tapqir_tpu.distributions.core import standard_gamma_grad
+
+    jax.config.update("jax_enable_x64", True)
+    alphas = np.concatenate([
+        np.geomspace(0.05, 0.79, 8),
+        np.geomspace(0.81, 7.9, 10),
+        np.geomspace(8.1, 5000, 10),
+    ])
+    qs = np.array([0.001, 0.01, 0.1, 0.3, 0.5, 0.7, 0.9, 0.99, 0.999])
+    A, Q = np.meshgrid(alphas, qs, indexing="ij")
+    X = sp_gamma.ppf(Q, A)
+    exact = np.asarray(
+        jax.lax.random_gamma_grad(jnp.asarray(A), jnp.asarray(X))
+    )
+    approx = np.asarray(standard_gamma_grad(jnp.asarray(A), jnp.asarray(X)))
+    rel = np.abs(approx - exact) / np.maximum(np.abs(exact), 1e-30)
+    assert rel.max() < 1e-3, f"max rel err {rel.max():.2e}"
