@@ -206,8 +206,24 @@ class hmm(cosmos):
             return tf[name](jnp.moveaxis(win[name], 0, -1))
 
         # images live flat-lane-padded on device: (Nt, F, C, EVP)
-        obs = jnp.take(data["images"], ndx, 0)  # (n, F, C, EVP)
-        target_locs = jnp.take(data["xy"], ndx, 0)
+        # ONE flat row gather on the (Nt*F, ...) view, exactly like cosmos
+        # (models/cosmos.py:_elbo_terms): a plain take along axis 0 of the
+        # 4D stack makes XLA relayout-copy the ENTIRE image array inside
+        # every step (2.3 ms/step at eLife scale, profiled round 4) to
+        # reconcile the gather's layout with the kernel consumer's
+        F_l = data["images"].shape[1]
+        flat_ndx = (
+            ndx[:, None] * F_l + jnp.arange(F_l)[None, :]
+        ).reshape(-1)
+
+        def g2a(arr):
+            flat = arr.reshape((arr.shape[0] * arr.shape[1],) + arr.shape[2:])
+            return jnp.take(flat, flat_ndx, 0).reshape(
+                (n, F_l) + arr.shape[2:]
+            )
+
+        obs = g2a(data["images"])  # (n, F, C, EVP)
+        target_locs = g2a(data["xy"])
         ont = jnp.take(data["is_ontarget"], ndx)
         mask = jnp.take(data["mask"], ndx)
 
