@@ -1,7 +1,7 @@
 """Profile one model's SVI step on the ambient device and print the top XLA
 ops by device time.
 
-Usage: python scripts/profile_step.py [cosmos|crosstalk|cosmos+hmm] [n_steps] [mixed]
+Usage: python scripts/profile_step.py [cosmos|crosstalk|cosmos+hmm] [n_steps]
 
 Traces ``model._run_chunk`` (the jitted lax.scan of SVI steps) with
 jax.profiler and aggregates the XPlane "XLA Ops" line directly - the
@@ -24,7 +24,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 
-def build(name, fbatch, mixed=False):
+def build(name, fbatch):
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
@@ -44,7 +44,7 @@ def build(name, fbatch, mixed=False):
         del sim["pi"]
         sim.update(kon=0.2, koff=0.2)
     data, cache = bench.build_dataset(name, sim, C=C)
-    model = models[name](mixed_kernel=mixed)
+    model = models[name]()
     model.data = data
     model.path = cache
     model.run_path = cache / ".tapqir"
@@ -78,12 +78,11 @@ def collect(trace_dir):
 def main():
     name = sys.argv[1] if len(sys.argv) > 1 else "crosstalk"
     n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 50
-    mixed = "mixed" in sys.argv[3:]
     fbatch = 790 if name == "cosmos+hmm" else 512
 
     import jax
 
-    model = build(name, fbatch, mixed=mixed)
+    model = build(name, fbatch)
     key = jax.random.PRNGKey(0)
     p, o, losses = model._run_chunk(
         model.params, model.opt_state, key, n_steps

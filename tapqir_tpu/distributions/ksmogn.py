@@ -28,7 +28,6 @@ from tapqir_tpu.distributions.util import gaussian_spots
 __all__ = [
     "offset_gamma_log_prob",
     "offset_gamma_log_prob_summed",
-    "offset_gamma_log_prob_summed_mixed",
     "ksmogn_image",
     "ksmogn_log_prob",
     "KSMOGN",
@@ -145,61 +144,6 @@ def offset_gamma_log_prob_summed(
         value, concentration, rate, offset_samples, offset_logits
     )
     return lp.sum(tuple(range(-event_ndims, 0)))
-
-
-def offset_gamma_log_prob_summed_mixed(
-    value, comps, mix, rate, offset_samples, offset_logits, ev,
-    use_pallas=None,
-):
-    """Event-summed offset-Gamma log-pdf with per-config concentrations
-    built from shared components INSIDE the kernel.
-
-    The per-config concentration a[m] = sum_r mix[m, r, c] * comps[r] is a
-    mixture of R row-shared components (background + rendered spots) with a
-    tiny (M, R, C) weight table (m-config 0/1 pattern x crosstalk alpha x
-    1/gain). Passing components instead of materialized concentrations cuts
-    the kernel's input traffic M/R-fold and removes the mixing einsum and
-    its (M, batch, EVP) cotangent from the XLA graph (for crosstalk:
-    ~170 MB/step each way).
-
-    :param value: batch + (EVP,) lane-padded flat images; the LAST batch
-        axis must be the channel axis (size C).
-    :param comps: (R,) + batch + (EVP,) components; component 0 must have a
-        strictly positive mixing weight (it backs the row padding).
-    :param mix: (M, R, C) weights.
-    :param ev: number of real pixels (static); lanes >= ev are masked.
-    :return: (M,) + batch log-probabilities summed over each image's pixels.
-    """
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
-    R = comps.shape[0]
-    batch_shape = comps.shape[1:-1]
-    ev_pad = comps.shape[-1]
-    M, _, C = mix.shape
-    assert batch_shape[-1] == C, (batch_shape, C)
-    nb = 1
-    for d in batch_shape:
-        nb *= d
-    if use_pallas:
-        from tapqir_tpu.ops.offset_gamma import offset_gamma_mixsum_pallas
-
-        try:
-            out = offset_gamma_mixsum_pallas(
-                value.reshape(nb, ev_pad),
-                comps.reshape(R, nb, ev_pad),
-                mix, rate, offset_samples, offset_logits, ev,
-            )  # (M, nb)
-            return out.reshape((M,) + batch_shape)
-        except NotImplementedError:
-            pass
-    a = jnp.einsum(
-        "mrc,rxce->mxce", mix, comps.reshape(R, nb // C, C, ev_pad)
-    ).reshape((M,) + batch_shape + (ev_pad,))
-    mask = (jnp.arange(ev_pad) < ev).astype(a.dtype)
-    lp = _offset_gamma_log_prob_xla(
-        value, a, rate, offset_samples, offset_logits
-    )
-    return (lp * mask).sum(-1)
 
 
 def _offset_gamma_log_prob_xla(value, concentration, rate, offset_samples, offset_logits):

@@ -323,7 +323,7 @@ def _resolve_mesh(model, mesh_opt, logger):
     return make_mesh(n_a, n_f)
 
 
-def _make_model(model, S, k_max, cpu, dtype, mixed_kernel=None):
+def _make_model(model, S, k_max, cpu, dtype):
     from tapqir_tpu.models import models
 
     settings = {
@@ -333,8 +333,6 @@ def _make_model(model, S, k_max, cpu, dtype, mixed_kernel=None):
         "dtype": dtype,
         "priors": DEFAULTS.get("priors"),
     }
-    if mixed_kernel is not None:
-        settings["mixed_kernel"] = mixed_kernel
     return models[model](**settings)
 
 
@@ -374,18 +372,13 @@ def _make_model(model, S, k_max, cpu, dtype, mixed_kernel=None):
               default="float32", help="Floating point precision")
 @click.option("--profile", type=int, default=0,
               help="Capture a jax profiler trace of N training steps and exit")
-@click.option("--mixed-kernel/--no-mixed-kernel", "mixed_kernel",
-              default=None,
-              help="Build per-m-config likelihood concentrations inside the "
-                   "Pallas kernel from shared components (less HBM traffic) "
-                   "instead of materializing them with an XLA einsum")
 @click.option("--overwrite", "-w", is_flag=True, default=True,
               help="Persist these values to config.yaml")
 @click.option("--no-input", is_flag=True, default=False,
               help="Disable interactive prompt.")
 def fit(model, S, cpu, nbatch_size, fbatch_size, learning_rate, num_iter,
         k_max, num_restarts, restart_iter, mesh, matlab, dtype, profile,
-        mixed_kernel, overwrite, no_input):
+        overwrite, no_input):
     """Fit the data to the selected model (reference: tapqir/main.py:321-485).
 
     Available models: cosmos (time-independent), cosmos+hmm (hidden Markov),
@@ -429,7 +422,7 @@ def fit(model, S, cpu, nbatch_size, fbatch_size, learning_rate, num_iter,
         _save_config()
 
     logger.info("Fitting the data ...")
-    m = _make_model(model, S, k_max, cpu, dtype, mixed_kernel)
+    m = _make_model(model, S, k_max, cpu, dtype)
     try:
         m.load(cd)
     except TapqirFileNotFoundError as err:

@@ -52,10 +52,7 @@ from tapqir_tpu.distributions.core import (
     halfnormal_log_prob,
     std_gamma_sample_packed,
 )
-from tapqir_tpu.distributions.ksmogn import (
-    offset_gamma_log_prob_summed,
-    offset_gamma_log_prob_summed_mixed,
-)
+from tapqir_tpu.distributions.ksmogn import offset_gamma_log_prob_summed
 from tapqir_tpu.distributions.util import gaussian_spots_flat
 from tapqir_tpu.infer.discrete import (
     log_probs_m,
@@ -88,14 +85,12 @@ class cosmos(Model):
     name = "cosmos"
 
     def __init__(self, S=1, K=2, Q=None, device=None, dtype="float32",
-                 use_pallas=None, priors=None, vectorized=True,
-                 mixed_kernel=False):
+                 use_pallas=None, priors=None, vectorized=True):
         merged = dict(DEFAULT_PRIORS)
         merged.update(priors or {})
         super().__init__(
             S=S, K=K, Q=Q, device=device, dtype=dtype,
             use_pallas=use_pallas, priors=merged, vectorized=vectorized,
-            mixed_kernel=mixed_kernel,
         )
         self._global_params = ["gain", "proximity", "lamda", "pi"]
         self.conv_params = ["-ELBO", "proximity_loc", "gain_loc", "lamda_loc"]
@@ -529,43 +524,17 @@ class cosmos(Model):
 
     def _likelihood_flat(self, obs, b, gauss, mtab, gain, data):
         """(M, n, f, C) event-summed KSMOGN log-likelihood from the rendered
-        spots. Two equivalent paths:
-
-        * mixed (``self.mixed_kernel``): background + per-spot components go
-          to the kernel as-is and each config's concentration is mixed
-          INSIDE it from a tiny (M, 1+K, C) weight table - no (M, nfc, EVP)
-          concentration tensor or cotangent ever hits HBM;
-        * materialized: the per-config concentration is built by an XLA
-          einsum (the original path; kept as the fallback until the mixed
-          kernel is hardware-validated).
-        """
+        spots: the per-config concentration is built by an XLA einsum and
+        reduced INSIDE the Pallas kernel. (A "mixed" variant that built the
+        per-config concentrations inside the kernel from shared components
+        was benchmarked three times on real v5e hardware - cosmos 367.6 vs
+        367.7, crosstalk 72.1 vs 72.8, hmm 230.9 vs 246.2 steps/s - and
+        never won, so it was removed in round 4; see README "kernel
+        variants".)"""
         n_, f_, C_ = obs.shape[:3]
         ev_pad = obs.shape[-1]
         K = gauss.shape[-2]
         P = self.data.P
-        if self.mixed_kernel:
-            inv_gain = 1.0 / gain
-            comps = jnp.concatenate(
-                [
-                    jnp.broadcast_to(
-                        b[..., None], (n_, f_, C_, ev_pad)
-                    )[None],
-                    jnp.moveaxis(gauss, -2, 0),
-                ],
-                0,
-            )  # (1+K, n, f, C, EVP)
-            mix = (
-                jnp.concatenate(
-                    [jnp.ones((mtab.shape[0], 1), mtab.dtype), mtab], 1
-                )
-                * inv_gain
-            )  # (M, 1+K)
-            mix = jnp.broadcast_to(mix[..., None], mix.shape + (C_,))
-            return offset_gamma_log_prob_summed_mixed(
-                obs, comps, mix, inv_gain,
-                data["offset_samples"], data["offset_logits"],
-                ev=P * P, use_pallas=self.use_pallas,
-            )  # (M, n, f, C)
         gauss_flat = gauss.reshape(n_ * f_ * C_, K, ev_pad)
         img_flat = b.reshape(-1)[None, :, None] + jnp.einsum(
             "mk,xkp->mxp", mtab, gauss_flat

@@ -15,10 +15,7 @@ import numpy as np
 
 from tapqir_tpu import constraints
 from tapqir_tpu.distributions.core import dirichlet_log_prob, dirichlet_sample
-from tapqir_tpu.distributions.ksmogn import (
-    offset_gamma_log_prob_summed,
-    offset_gamma_log_prob_summed_mixed,
-)
+from tapqir_tpu.distributions.ksmogn import offset_gamma_log_prob_summed
 from tapqir_tpu.distributions.util import gaussian_spots_flat
 from tapqir_tpu.infer.discrete import m_configs
 from tapqir_tpu.models.cosmos import cosmos
@@ -52,12 +49,10 @@ class crosstalk(cosmos):
     name = "crosstalk"
 
     def __init__(self, S=1, K=2, Q=None, device=None, dtype="float32",
-                 use_pallas=None, priors=None, vectorized=True,
-                 mixed_kernel=False):
+                 use_pallas=None, priors=None, vectorized=True):
         super().__init__(
             S=S, K=K, Q=Q, device=device, dtype=dtype,
             use_pallas=use_pallas, priors=priors, vectorized=vectorized,
-            mixed_kernel=mixed_kernel,
         )
         self._global_params = ["gain", "proximity", "lamda", "pi", "alpha"]
         self.ci_params = [
@@ -140,50 +135,17 @@ class crosstalk(cosmos):
             target_locs[..., None, :, :], P, ev_pad,
         )  # (n, f, Q, C, K, EVP)
         Mf = mtab_full.shape[0]
-        if self.mixed_kernel:
-            # components: background + one rendered spot per (dye, k); each
-            # config's concentration is mixed INSIDE the kernel from the
-            # tiny (Mf, 1+Q*K, C) weight table mtab x alpha / gain - the
-            # (Mf, n*f*C, EVP) concentration (~170 MB/step at eLife scale,
-            # Mf = 16) never exists in HBM
-            inv_gain = 1.0 / gain
-            comps = jnp.concatenate(
-                [
-                    jnp.broadcast_to(
-                        b[..., None], (n_, f_, C, ev_pad)
-                    )[None],
-                    jnp.moveaxis(gauss, (2, 4), (0, 1)).reshape(
-                        Q * K, n_, f_, C, ev_pad
-                    ),
-                ],
-                0,
-            )  # (1+Q*K, n, f, C, EVP)
-            mix_spots = jnp.einsum(
-                "gqk,qc->gqkc", mtab_full, alpha
-            ).reshape(Mf, Q * K, C)
-            mix = (
-                jnp.concatenate(
-                    [jnp.ones((Mf, 1, C), mix_spots.dtype), mix_spots], 1
-                )
-                * inv_gain
-            )  # (Mf, 1+Q*K, C)
-            loglik = offset_gamma_log_prob_summed_mixed(
-                obs, comps, mix, inv_gain,
-                data["offset_samples"], data["offset_logits"],
-                ev=P * P, use_pallas=self.use_pallas,
-            ).sum(-1)  # event dims (C, P, P)
-        else:
-            gauss_flat = gauss.reshape(n_ * f_, Q, C, K, ev_pad)
-            img_flat = b.reshape(n_ * f_, C, 1) + jnp.einsum(
-                "gqk,qc,xqckp->gxcp", mtab_full, alpha, gauss_flat
-            )  # (Mf, nf, C, EVP)
-            loglik = offset_gamma_log_prob_summed(
-                obs.reshape(n_ * f_ * C, ev_pad),
-                img_flat.reshape(Mf, n_ * f_ * C, ev_pad) / gain,
-                1.0 / gain,
-                data["offset_samples"], data["offset_logits"],
-                event_ndims=1, use_pallas=self.use_pallas, ev=P * P,
-            ).reshape(Mf, n_, f_, C).sum(-1)  # event dims (C, P, P)
+        gauss_flat = gauss.reshape(n_ * f_, Q, C, K, ev_pad)
+        img_flat = b.reshape(n_ * f_, C, 1) + jnp.einsum(
+            "gqk,qc,xqckp->gxcp", mtab_full, alpha, gauss_flat
+        )  # (Mf, nf, C, EVP)
+        loglik = offset_gamma_log_prob_summed(
+            obs.reshape(n_ * f_ * C, ev_pad),
+            img_flat.reshape(Mf, n_ * f_ * C, ev_pad) / gain,
+            1.0 / gain,
+            data["offset_samples"], data["offset_logits"],
+            event_ndims=1, use_pallas=self.use_pallas, ev=P * P,
+        ).reshape(Mf, n_, f_, C).sum(-1)  # event dims (C, P, P)
 
         local = (
             wq * (inner_g + term_hw_g + loglik - log_qm_g - term_q_g)

@@ -75,12 +75,10 @@ class hmm(cosmos):
     frame_coupled = True
 
     def __init__(self, S=1, K=2, device=None, dtype="float32",
-                 use_pallas=None, vectorized=True, priors=None,
-                 mixed_kernel=False):
+                 use_pallas=None, vectorized=True, priors=None):
         super().__init__(
             S=S, K=K, Q=None, device=device, dtype=dtype,
             use_pallas=use_pallas, priors=priors, vectorized=vectorized,
-            mixed_kernel=mixed_kernel,
         )
         self._global_params = ["gain", "proximity", "lamda", "trans"]
         self.ci_params = [
@@ -391,9 +389,7 @@ class hmm(cosmos):
         term_hw = jnp.einsum("mk,nfqk->mnfq", mtab, lph + lpw)
 
         # flat lane-padded pixel layout end-to-end (see cosmos): in-kernel
-        # event reduction, no XLA relayout loops around the kernel; the
-        # mixed path additionally builds each config's concentration inside
-        # the kernel (cosmos._likelihood_flat)
+        # event reduction, no XLA relayout loops around the kernel
         ev_pad = obs.shape[-1]
         gauss = gaussian_spots_flat(
             h, w, xs, ys, target_locs, P, ev_pad

@@ -123,17 +123,12 @@ class Model:
         use_pallas: Optional[bool] = None,
         priors: Optional[dict] = None,
         vectorized: bool = True,
-        mixed_kernel: bool = False,
     ):
         self.S = S
         self.K = K
         self._Q = Q
         self.priors = dict(priors or {})
         self.use_pallas = use_pallas
-        # build per-m-config concentrations INSIDE the likelihood kernel from
-        # shared components (background + rendered spots) instead of
-        # materializing the (M, n*f*C, EVP) tensor in HBM with an XLA einsum
-        self.mixed_kernel = mixed_kernel
         self.vectorized = vectorized
         self.nbatch_size = None
         self.fbatch_size = None

@@ -463,239 +463,6 @@ def _lse_sum_bwd(ev, TB, res, go):
 _lse_sum_core.defvjp(_lse_sum_fwd, _lse_sum_bwd)
 
 
-# ---------------------------------------------------------------------------
-# mixed variant: m-config concentrations built INSIDE the kernel
-# ---------------------------------------------------------------------------
-#
-# The summed kernel above still makes its caller materialize the per-config
-# concentration (M, nb, EVP) in HBM - for crosstalk (M = 2^(K*Q) = 16,
-# nb = n*f*C, EVP = 256) that is a ~170 MB tensor written by an XLA einsum
-# and read back by the kernel every step, plus an equally large cotangent in
-# the backward pass. But the M images are all mixtures of the same R = 1+Q*K
-# per-row components (background + one rendered spot per (dye, k)):
-#
-#     a[m, row, px] = sum_r mix[m, r, c(row)] * comps[r, row, px]
-#
-# with mix a TINY (M, R, C) table (m-config 0/1 pattern x crosstalk alpha x
-# 1/gain) and c(row) the row's channel in the (n, f, C)-interleaved layout.
-# This variant takes comps + mix and forms each config's concentration in
-# VMEM (R fused multiply-adds per config - noise next to the J-bin loop),
-# cutting the kernel's concentration input traffic M/R-fold and replacing
-# the einsum + its backward with an (M, R, C)-shaped gradient.
-
-
-def _mix_conc(C, TB, mix_ref, comps, ch):
-    """Per-config concentrations from components; returns a list of M
-    (TB, EVP) tensors. ``mix_ref`` is SMEM (M, R, C); ``ch`` is the (TB, 1)
-    per-row channel index (None when C == 1)."""
-    M, R = mix_ref.shape[0], mix_ref.shape[1]
-    out = []
-    for m in range(M):
-        if C == 1:
-            a = mix_ref[m, 0, 0] * comps[0]
-            for r in range(1, R):
-                a = a + mix_ref[m, r, 0] * comps[r]
-        else:
-            a = None
-            for cc in range(C):
-                ac = mix_ref[m, 0, cc] * comps[0]
-                for r in range(1, R):
-                    ac = ac + mix_ref[m, r, cc] * comps[r]
-                sel = jnp.where(ch == cc, ac, 0.0)
-                a = sel if a is None else a + sel
-        out.append(a)
-    return out
-
-
-def _mixsum_fwd_kernel(ev, C, g_ref, w_ref, b_ref, mix_ref, x_ref, comps_ref,
-                       out_ref, lbuf, cbuf, dbuf):
-    TB, EVP = x_ref.shape
-    _sum_stage(ev, g_ref, w_ref, b_ref, x_ref, lbuf, cbuf, dbuf)
-    L, c = lbuf[:], cbuf[:]
-    mask = _ev_mask(ev, EVP, x_ref.dtype)
-    log_rate = jnp.log(b_ref[0])
-    ch = None
-    if C > 1:
-        ch = pl.program_id(0) * TB + jax.lax.broadcasted_iota(
-            jnp.int32, (TB, 1), 0
-        )
-        ch = ch % C
-    comps = [comps_ref[r] for r in range(comps_ref.shape[0])]
-    for m, a in enumerate(_mix_conc(C, TB, mix_ref, comps, ch)):
-        t = c + (a - 1.0) * L
-        mx = jnp.max(t, axis=0)
-        s = jnp.sum(jnp.exp(t - mx), axis=0)
-        pre = (mx + jnp.log(s) + a * log_rate - _lgamma_stirling(a)) * mask
-        out_ref[m] = pre.reshape(pre.shape[0], EVP // LANE, LANE).sum(1)
-
-
-def _mixsum_stats_kernel(ev, C, g_ref, w_ref, b_ref, mix_ref, x_ref,
-                         comps_ref, out_ref, spl_ref, spd_ref,
-                         lbuf, cbuf, dbuf):
-    TB, EVP = x_ref.shape
-    _sum_stage(ev, g_ref, w_ref, b_ref, x_ref, lbuf, cbuf, dbuf)
-    L, c, d = lbuf[:], cbuf[:], dbuf[:]
-    mask = _ev_mask(ev, EVP, x_ref.dtype)
-    log_rate = jnp.log(b_ref[0])
-    inv_rate = 1.0 / b_ref[0]
-    ch = None
-    if C > 1:
-        ch = pl.program_id(0) * TB + jax.lax.broadcasted_iota(
-            jnp.int32, (TB, 1), 0
-        )
-        ch = ch % C
-    comps = [comps_ref[r] for r in range(comps_ref.shape[0])]
-    for m, a in enumerate(_mix_conc(C, TB, mix_ref, comps, ch)):
-        t = c + (a - 1.0) * L
-        mx = jnp.max(t, axis=0)
-        e = jnp.exp(t - mx)
-        s = jnp.sum(e, axis=0)
-        inv_s = 1.0 / s
-        pre = (mx + jnp.log(s) + a * log_rate - _lgamma_stirling(a)) * mask
-        out_ref[m] = pre.reshape(pre.shape[0], EVP // LANE, LANE).sum(1)
-        spl_ref[m] = (
-            jnp.sum(e * L, axis=0) * inv_s + log_rate - _digamma_stirling(a)
-        ) * mask
-        spd_ref[m] = (a * inv_rate - jnp.sum(e * d, axis=0) * inv_s) * mask
-
-
-def _mixsum_call(kernel, n_outs, x2, comps, mix, rate, g, w, ev, TB, C):
-    R, nb, EVP = comps.shape
-    M = mix.shape[0]
-    J = g.shape[0]
-    in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # g (J,)
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # w (J,)
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # rate (1,)
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # mix (M, R, C)
-        pl.BlockSpec((TB, EVP), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((R, TB, EVP), lambda i: (0, i, 0),
-                     memory_space=pltpu.VMEM),
-    ]
-    out_spec_sum = pl.BlockSpec((M, TB, LANE), lambda i: (0, i, 0),
-                                memory_space=pltpu.VMEM)
-    out_spec_px = pl.BlockSpec((M, TB, EVP), lambda i: (0, i, 0),
-                               memory_space=pltpu.VMEM)
-    out_specs = [out_spec_sum] + [out_spec_px] * (n_outs - 1)
-    out_shape = [jax.ShapeDtypeStruct((M, nb, LANE), x2.dtype)] + [
-        jax.ShapeDtypeStruct((M, nb, EVP), x2.dtype)
-    ] * (n_outs - 1)
-    scratch = [pltpu.VMEM((J, TB, EVP), jnp.float32) for _ in range(3)]
-    return pl.pallas_call(
-        functools.partial(kernel, ev, C),
-        grid=(nb // TB,),
-        in_specs=in_specs,
-        out_specs=out_specs if n_outs > 1 else out_specs[0],
-        out_shape=out_shape if n_outs > 1 else out_shape[0],
-        scratch_shapes=scratch,
-        interpret=_interpret(),
-    )(g, w, rate.reshape(1), mix, x2, comps)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
-def _lse_mixsum_core(x2, comps, mix, rate, g, w, ev, TB, C):
-    return _mixsum_call(
-        _mixsum_fwd_kernel, 1, x2, comps, mix, rate, g, w, ev, TB, C
-    ).sum(-1)
-
-
-def _lse_mixsum_fwd(x2, comps, mix, rate, g, w, ev, TB, C):
-    out, spl, spd = _mixsum_call(
-        _mixsum_stats_kernel, 3, x2, comps, mix, rate, g, w, ev, TB, C
-    )
-    return out.sum(-1), (spl, spd, comps, mix, x2, rate, g, w)
-
-
-def _lse_mixsum_bwd(ev, TB, C, res, go):
-    spl, spd, comps, mix, x2, rate, g, w = res
-    M, nb, EVP = spl.shape
-    da = go[..., None] * spl  # (M, nb, EVP)
-    if C == 1:
-        dcomps = jnp.einsum("mne,mr->rne", da, mix[..., 0])
-        dmix = jnp.einsum("mne,rne->mr", da, comps)[..., None]
-    else:
-        onehot = (
-            (jnp.arange(nb) % C)[:, None] == jnp.arange(C)[None, :]
-        ).astype(spl.dtype)  # (nb, C)
-        wrows = jnp.einsum("mrc,nc->mrn", mix, onehot)
-        dcomps = jnp.einsum("mne,mrn->rne", da, wrows)
-        dmix = jnp.einsum("mne,rne,nc->mrc", da, comps, onehot)
-    drate = (go[..., None] * spd).sum()
-    return (
-        jnp.zeros_like(x2),
-        dcomps,
-        dmix,
-        drate.reshape(rate.shape),
-        jnp.zeros_like(g),
-        jnp.zeros_like(w),
-    )
-
-
-_lse_mixsum_core.defvjp(_lse_mixsum_fwd, _lse_mixsum_bwd)
-
-
-def offset_gamma_mixsum_pallas(value, comps, mix, rate, offset_samples,
-                               offset_logits, ev):
-    """Offset-marginalized Gamma log-pdf with IN-KERNEL per-config mixing
-    and event reduction.
-
-    :param value: (nb, EVP) lane-padded flat images, rows (n, f, C)-
-        interleaved (channel = row % C); padded entries MUST exceed every
-        offset sample.
-    :param comps: (R, nb, EVP) concentration components (component 0 is
-        normally the background; the rest rendered spots). Padded event
-        entries must make every mixed concentration positive.
-    :param mix: (M, R, C) per-config mixing weights; the mixed
-        concentration of config m at a channel-c row is
-        ``sum_r mix[m, r, c] * comps[r]``.
-    :param ev: number of real pixels per image (static).
-    :return: (M, nb) log-probabilities summed over each image's pixels.
-    """
-    if jnp.ndim(rate) != 0:
-        raise NotImplementedError("mixed pallas kernel requires scalar rate")
-    if comps.dtype != jnp.float32:
-        raise NotImplementedError("pallas kernel is float32-only")
-    R, nb, EVP = comps.shape
-    M, R2, C = mix.shape
-    assert R2 == R
-    if EVP % LANE != 0:
-        raise NotImplementedError(f"event axis must be lane-padded: {EVP}")
-    if C > 1 and nb % C != 0:
-        raise ValueError("rows must be (n, f, C)-interleaved")
-    J = offset_samples.shape[0]
-    TB = _pick_tile_batch(J, M, EVP)
-    if TB is None:
-        raise NotImplementedError(
-            f"offset bins x configs too large for VMEM: J={J}, M={M}"
-        )
-    if C > 1 and TB % C != 0:
-        # per-row channel selection assumes whole (…, C) groups per tile;
-        # TB is a power of two >= 8 and C is 2 in practice
-        raise NotImplementedError(f"tile batch {TB} not divisible by C={C}")
-    nb_pad = -(-nb // TB) * TB
-    if nb_pad != nb:
-        pad_v = jnp.max(offset_samples).astype(value.dtype) + 1.0
-        value = jnp.concatenate(
-            [value, jnp.full((nb_pad - nb, EVP), pad_v, value.dtype)], 0
-        )
-        # pad with zero components; mix[:, 0, :] (the background weight)
-        # times comp 0 = 0 would give a = 0, so pad comp 0 with ones
-        pad_c = jnp.zeros((R, nb_pad - nb, EVP), comps.dtype)
-        pad_c = pad_c.at[0].set(1.0)
-        comps = jnp.concatenate([comps, pad_c], 1)
-    return _lse_mixsum_core(
-        value,
-        comps,
-        mix.astype(comps.dtype),
-        jnp.asarray(rate, comps.dtype),
-        offset_samples.astype(comps.dtype),
-        offset_logits.astype(comps.dtype),
-        ev,
-        TB,
-        C,
-    )[:, :nb]
-
-
 def offset_gamma_summed_pallas(value, concentration, rate, offset_samples,
                                offset_logits, ev):
     """Offset-marginalized Gamma log-pdf, event-summed inside the kernel.

@@ -143,23 +143,6 @@ def test_fit_num_restarts(tmp_path):
     assert (tmp_path / "cosmos_summary.csv").exists()
 
 
-def test_fit_mixed_kernel_flag(tmp_path):
-    """--mixed-kernel must reach the model and still produce a checkpoint
-    (the XLA fallback path runs on CPU; parity with the materialized path
-    is covered in test_pallas.py)."""
-    data = simulate("cosmos", N=2, F=5, C=1, P=14, seed=0,
-                    params=_sim_params("cosmos"))
-    save(data, tmp_path)
-    result = runner.invoke(
-        app,
-        ["--cd", str(tmp_path), "fit", "--model", "cosmos",
-         "--nbatch-size", "2", "--fbatch-size", "5",
-         "--num-iter", "1", "--mixed-kernel", "--cpu", "--no-input"],
-    )
-    assert result.exit_code == 0, result.output + repr(result.exception)
-    assert (tmp_path / ".tapqir" / "cosmos_model.tpqr").exists()
-
-
 @pytest.mark.slow
 def test_fit_profile(tmp_path):
     data = simulate("cosmos", N=2, F=5, C=1, P=14, seed=0,

@@ -193,119 +193,6 @@ def test_summed_kernel_padded_ev_matches_xla():
     )
 
 
-def _mixsum_case(M=4, R=3, nb=12, C=1, ev=196, ev_pad=256, J=7, seed=11):
-    rng = np.random.default_rng(seed)
-    value = rng.integers(95, 400, size=(nb, ev)).astype(np.float32)
-    comps = rng.uniform(5.0, 40.0, size=(R, nb, ev)).astype(np.float32)
-    mix = rng.uniform(0.05, 0.4, size=(M, R, C)).astype(np.float32)
-    g = np.sort(rng.integers(80, 95, size=J)).astype(np.float32)
-    w = np.log(rng.dirichlet(np.ones(J))).astype(np.float32)
-    rate = np.float32(1.0 / 7.0)
-    value_p = np.concatenate(
-        [value, np.full((nb, ev_pad - ev), g.max() + 1.0, np.float32)], -1
-    )
-    comps_p = np.concatenate(
-        [comps, np.ones((R, nb, ev_pad - ev), np.float32)], -1
-    )
-    return value_p, comps_p, mix, rate, g, w, ev
-
-
-def _mixsum_want(value_p, comps_p, mix, rate, g, w, ev):
-    """Materialized-concentration oracle for the mixed kernel."""
-    from tapqir_tpu.distributions.ksmogn import _offset_gamma_log_prob_xla
-
-    M, R, C = mix.shape
-    nb = comps_p.shape[1]
-    ch = np.arange(nb) % C
-    a = np.einsum("mrn,rne->mne", mix[:, :, ch], comps_p)
-    lp = _offset_gamma_log_prob_xla(
-        jnp.asarray(value_p), jnp.asarray(a), jnp.asarray(rate),
-        jnp.asarray(g), jnp.asarray(w),
-    )
-    return np.asarray(lp)[..., :ev].sum(-1)
-
-
-@pytest.mark.parametrize("C", [1, 2])
-def test_mixsum_kernel_matches_materialized(C):
-    """In-kernel per-config mixing (offset_gamma_mixsum_pallas) must equal
-    the materialized-concentration path, including channel-interleaved rows
-    (C=2, crosstalk) and row padding (nb=12 < tile batch)."""
-    from tapqir_tpu.ops.offset_gamma import offset_gamma_mixsum_pallas
-
-    value_p, comps_p, mix, rate, g, w, ev = _mixsum_case(C=C)
-    got = offset_gamma_mixsum_pallas(
-        jnp.asarray(value_p), jnp.asarray(comps_p), jnp.asarray(mix),
-        jnp.asarray(rate), jnp.asarray(g), jnp.asarray(w), ev=ev,
-    )
-    want = _mixsum_want(value_p, comps_p, mix, rate, g, w, ev)
-    assert got.shape == want.shape
-    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-5, atol=1e-2)
-
-
-@pytest.mark.parametrize("C", [1, 2])
-def test_mixsum_gradients_match_materialized(C):
-    """The custom VJP's (comps, mix, rate) gradients must match autodiff
-    through the materialized einsum path."""
-    from tapqir_tpu.ops.offset_gamma import offset_gamma_mixsum_pallas
-
-    value_p, comps_p, mix, rate, g, w, ev = _mixsum_case(M=2, C=C, seed=13)
-    nb = comps_p.shape[1]
-    ct = np.random.default_rng(7).normal(size=(2, nb)).astype(np.float32)
-
-    def loss_pallas(cp, mx, r):
-        out = offset_gamma_mixsum_pallas(
-            jnp.asarray(value_p), cp, mx, r, jnp.asarray(g), jnp.asarray(w),
-            ev=ev,
-        )
-        return (out * ct).sum()
-
-    def loss_mat(cp, mx, r):
-        from tapqir_tpu.distributions.ksmogn import offset_gamma_log_prob_summed
-
-        ch = jnp.arange(nb) % C
-        a = jnp.einsum("mrn,rne->mne", mx[:, :, ch], cp)
-        out = offset_gamma_log_prob_summed(
-            jnp.asarray(value_p), a, r, jnp.asarray(g), jnp.asarray(w),
-            event_ndims=1, use_pallas=False, ev=ev,
-        )
-        return (out * ct).sum()
-
-    args = (jnp.asarray(comps_p), jnp.asarray(mix), jnp.asarray(rate))
-    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(*args)
-    gm = jax.grad(loss_mat, argnums=(0, 1, 2))(*args)
-    # padded event lanes carry no gradient
-    np.testing.assert_array_equal(np.asarray(gp[0][..., ev:]), 0.0)
-    np.testing.assert_allclose(
-        np.asarray(gp[0][..., :ev]), np.asarray(gm[0][..., :ev]),
-        rtol=2e-4, atol=1e-4,
-    )
-    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gm[1]),
-                               rtol=2e-4, atol=2e-3)
-    np.testing.assert_allclose(float(gp[2]), float(gm[2]), rtol=1e-3)
-
-
-def test_mixsum_dispatcher_fallback_matches_pallas():
-    """offset_gamma_log_prob_summed_mixed: the XLA einsum fallback and the
-    Pallas kernel agree through the batch-shaped public API."""
-    from tapqir_tpu.distributions.ksmogn import offset_gamma_log_prob_summed_mixed
-
-    value_p, comps_p, mix, rate, g, w, ev = _mixsum_case(C=2, nb=12, seed=17)
-    n, C = 6, 2
-    vb = jnp.asarray(value_p).reshape(n, C, 256)
-    cb = jnp.asarray(comps_p).reshape(3, n, C, 256)
-    got = offset_gamma_log_prob_summed_mixed(
-        vb, cb, jnp.asarray(mix), jnp.asarray(rate),
-        jnp.asarray(g), jnp.asarray(w), ev=ev, use_pallas=True,
-    )
-    want = offset_gamma_log_prob_summed_mixed(
-        vb, cb, jnp.asarray(mix), jnp.asarray(rate),
-        jnp.asarray(g), jnp.asarray(w), ev=ev, use_pallas=False,
-    )
-    assert got.shape == (4, n, C)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=3e-5, atol=1e-2)
-
-
 def test_summed_kernel_vmap_matches_loop():
     """parallel/restarts.py vmaps the whole train step over R chains, which
     pushes a batch axis through the pallas_call + custom_vjp; the batched
@@ -352,42 +239,6 @@ def _summed_case(M=4, nb=12, ev=196, ev_pad=256, J=7, seed=0):
     return value_p, conc_p, rate, g, w, ev
 
 
-def test_mixsum_kernel_vmap_matches_loop():
-    """Same vmap-over-chains contract for the mixed kernel."""
-    from tapqir_tpu.distributions.ksmogn import (
-        offset_gamma_log_prob_summed_mixed,
-    )
-
-    R = 3
-    cases = [_mixsum_case(C=2, seed=20 + s) for s in range(R)]
-    value = jnp.stack([jnp.asarray(c[0]) for c in cases])
-    comps = jnp.stack([jnp.asarray(c[1]) for c in cases])
-    mix = jnp.stack([jnp.asarray(c[2]) for c in cases])
-    rate, g, w, ev = cases[0][3:]
-    n, C = 6, 2
-
-    def one(v, cp, mx):
-        return offset_gamma_log_prob_summed_mixed(
-            v.reshape(n, C, 256), cp.reshape(3, n, C, 256), mx,
-            jnp.asarray(rate), jnp.asarray(g), jnp.asarray(w),
-            ev=ev, use_pallas=True,
-        ).sum()
-
-    got = jax.vmap(one)(value, comps, mix)
-    want = jnp.stack([one(value[r], comps[r], mix[r]) for r in range(R)])
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=1e-6, atol=1e-6)
-
-    gv = jax.vmap(jax.grad(one, argnums=(1, 2)))(value, comps, mix)
-    wv = [jax.grad(one, argnums=(1, 2))(value[r], comps[r], mix[r])
-          for r in range(R)]
-    for i in range(2):
-        np.testing.assert_allclose(
-            np.asarray(gv[i]), np.asarray(jnp.stack([t[i] for t in wv])),
-            rtol=1e-5, atol=1e-5,
-        )
-
-
 def test_gaussian_spots_flat_matches_reshaped():
     from tapqir_tpu.distributions.util import gaussian_spots, gaussian_spots_flat
 
@@ -406,40 +257,6 @@ def test_gaussian_spots_flat_matches_reshaped():
         np.asarray(flat[..., : P * P]), np.asarray(full), rtol=1e-5, atol=1e-4
     )
     np.testing.assert_array_equal(np.asarray(flat[..., P * P :]), 0.0)
-
-
-@pytest.mark.parametrize(
-    "name,C,params",
-    [
-        ("cosmos", 1, {"pi": 0.3}),
-        ("crosstalk", 2, {"pi": 0.3, "alpha": [[0.85, 0.15], [0.1, 0.9]]}),
-        ("cosmos+hmm", 1, {"kon": 0.2, "koff": 0.2}),
-    ],
-)
-def test_model_elbo_mixed_kernel_parity(name, C, params):
-    """self.mixed_kernel (in-kernel per-config mixing, interpret mode) must
-    reproduce the materialized-concentration ELBO for every model."""
-    from tapqir_tpu.models import models
-    from tapqir_tpu.utils.simulate import simulate
-
-    sim = dict(
-        {"width": 1.4, "gain": 7.0, "lamda": 0.15, "proximity": 0.2,
-         "offset": 90.0, "height": 3000, "background": 150},
-        **params,
-    )
-    data = simulate(name, N=3, F=4, C=C, P=14, seed=6, params=sim)
-    model = models[name](use_pallas=True)
-    model.data = data
-    model.nbatch_size = 2
-    model.fbatch_size = 3
-    model.init_parameters()
-    model._data_dev = model._data_device_arrays()
-    key = jax.random.PRNGKey(0)
-    model.mixed_kernel = False
-    want = float(model.elbo(model.params, key, model._data_dev))
-    model.mixed_kernel = True
-    got = float(model.elbo(model.params, key, model._data_dev))
-    np.testing.assert_allclose(got, want, rtol=5e-6)
 
 
 def test_stirling_lgamma_digamma_golden():

@@ -163,80 +163,6 @@ def test_sharded_gradients_match_emulated_2x2():
         )
 
 
-@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
-def test_sharded_mixed_kernel_matches_materialized():
-    """mixed_kernel=True (in-kernel per-config mixing; XLA fallback off-TPU)
-    must produce the same sharded loss and gradients as the materialized
-    path through shard_map — guards flipping the default for TPU fits.
-    crosstalk exercises the C=2 channel-interleaved row indexing."""
-    ct_params = dict(PARAMS, alpha=[[0.85, 0.15], [0.1, 0.9]])
-    data = simulate("crosstalk", N=4, F=4, C=2, P=14, seed=2, params=ct_params)
-
-    def sharded_grads(mixed):
-        model = models["crosstalk"](dtype="double", mixed_kernel=mixed)
-        model.data = data
-        model.nbatch_size = 2
-        model.fbatch_size = 2
-        model.init_parameters()
-        model._data_dev = model._data_device_arrays()
-        mesh = make_mesh(2, 2)
-        params_sh, data_sh = shard_params_and_data(
-            mesh, model.params, model.param_partition(), model._data_dev
-        )
-        loss, grads = jax.jit(make_sharded_grads_fn(model, mesh))(
-            params_sh, jax.random.PRNGKey(5), data_sh
-        )
-        return float(loss), {k: np.asarray(v) for k, v in grads.items()}
-
-    loss_mat, grads_mat = sharded_grads(False)
-    loss_mix, grads_mix = sharded_grads(True)
-    np.testing.assert_allclose(loss_mix, loss_mat, rtol=1e-9)
-    for k in grads_mat:
-        np.testing.assert_allclose(
-            grads_mix[k], grads_mat[k], rtol=1e-7, atol=1e-10,
-            err_msg=f"mixed-kernel sharded gradient mismatch for {k}",
-        )
-
-
-@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
-@pytest.mark.slow
-def test_sharded_hmm_mixed_kernel_matches_materialized():
-    """Same mixed-kernel parity guard for the riskiest composition: hmm's
-    frame-sharded sequence-parallel scan on an ("aoi", "frame") mesh."""
-    from tapqir_tpu.utils.simulate import simulate as sim
-
-    params = dict(PARAMS)
-    del params["pi"]
-    params["kon"] = 0.2
-    params["koff"] = 0.2
-    data = sim("cosmos+hmm", N=4, F=8, C=1, P=14, seed=0, params=params)
-
-    def sharded_grads(mixed):
-        model = models["cosmos+hmm"](dtype="double", mixed_kernel=mixed)
-        model.data = data
-        model.nbatch_size = 2
-        model.fbatch_size = 8
-        model.init_parameters()
-        model._data_dev = model._data_device_arrays()
-        mesh = make_mesh(2, 2)
-        params_sh, data_sh = shard_params_and_data(
-            mesh, model.params, model.param_partition(), model._data_dev
-        )
-        loss, grads = jax.jit(make_sharded_grads_fn(model, mesh))(
-            params_sh, jax.random.PRNGKey(3), data_sh
-        )
-        return float(loss), {k: np.asarray(v) for k, v in grads.items()}
-
-    loss_mat, grads_mat = sharded_grads(False)
-    loss_mix, grads_mix = sharded_grads(True)
-    np.testing.assert_allclose(loss_mix, loss_mat, rtol=1e-9)
-    for k in grads_mat:
-        np.testing.assert_allclose(
-            grads_mix[k], grads_mat[k], rtol=1e-7, atol=1e-10,
-            err_msg=f"hmm mixed-kernel sharded gradient mismatch for {k}",
-        )
-
-
 def test_graft_entry_single_chip():
     import sys
 
