@@ -455,6 +455,20 @@ class Model:
                 )
 
             loss, g_win = jax.value_and_grad(loss_fn_win)(win)
+            # Non-finite gradient elements become zero (skip this step for
+            # that element). They arise only from numerically degenerate
+            # corner states - e.g. an empty frame's h_beta pinned at the
+            # exp-transform rail feeds a ~1e-13 Gamma concentration whose
+            # log-prob gradients overflow float32 - where the true signal
+            # is meaningless anyway; an Inf gradient would otherwise turn
+            # the parameter into NaN (p - lr*Inf/sqrt(Inf)) and force a
+            # checkpoint rollback (observed every ~8k iters late in the
+            # eLife-scale run). The whole-loss finite check in run() still
+            # catches genuinely diverging fits.
+            g_win = {
+                k: jnp.where(jnp.isfinite(g), g, 0.0)
+                for k, g in g_win.items()
+            }
             mu_win = self.gather_windows(adam.mu, ndx, f0, f_b)
             nu_win = self.gather_windows(adam.nu, ndx, f0, f_b)
 

@@ -227,7 +227,8 @@ def test_coerce_opt_state_bias_correction_bound(tmp_path):
         adam = model.opt_state[0]
         # non-trivial momenta so the update is not zero
         key = jax.random.PRNGKey(0)
-        mu = {k: 1e-3 * jax.random.normal(jax.random.fold_in(key, i), v.shape)
+        mu = {k: 1e-3 * jax.random.normal(jax.random.fold_in(key, i),
+                                          v.shape, v.dtype)
               for i, (k, v) in enumerate(adam.mu.items())}
         nu = {k: jnp.full_like(v, 1e-6) for k, v in adam.nu.items()}
         counts = {k: jnp.full_like(v, counts_value[k])
