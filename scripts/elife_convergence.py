@@ -169,12 +169,15 @@ def main():
 
     print(f"[elife] device: {jax.devices()[0].platform}", file=sys.stderr,
           flush=True)
+    iters0 = getattr(model, "iter", 0)
     t0 = time.perf_counter()
     model.run(args.iters)
     wall_fit = time.perf_counter() - t0
     iters = model.iter
-    print(f"[elife] fit: {iters} iters in {wall_fit:.0f} s "
-          f"({iters / wall_fit:.1f} steps/s), converged={model.converged}",
+    done_now = max(iters - iters0, 1)
+    print(f"[elife] fit: {iters} cumulative iters ({done_now} this "
+          f"invocation) in {wall_fit:.0f} s ({done_now / wall_fit:.1f} "
+          f"steps/s sustained), converged={model.converged}",
           file=sys.stderr, flush=True)
 
     t1 = time.perf_counter()
@@ -191,8 +194,9 @@ def main():
         "Nt": data.Nt, "F": data.F, "P": data.P, "C": data.C,
         "iters": iters,
         "converged": bool(model.converged),
+        "iters_this_invocation": done_now,
         "wall_fit_s": round(wall_fit, 1),
-        "steps_per_sec": round(iters / wall_fit, 1),
+        "steps_per_sec_sustained": round(done_now / wall_fit, 1),
         "wall_stats_s": round(wall_stats, 1),
         "p_specific_mean_ontarget": round(float(p_spec[:n_on].mean()), 4),
         "summary": {
