@@ -58,7 +58,7 @@ BASE = {
 ITERS = 8000
 
 
-def _fit(name, sim_params, N, F, C, seed=0):
+def _fit(name, sim_params, N, F, C, seed=0, iters=None):
     data = simulate(name, N=N, F=F, C=C, P=14, seed=seed, params=sim_params)
     model = models[name]()
     model.data = data
@@ -66,7 +66,7 @@ def _fit(name, sim_params, N, F, C, seed=0):
     model.path = tmp
     model.run_path = tmp / ".tapqir"
     model.init(lr=0.005, nbatch_size=min(N, 10), fbatch_size=min(F, 512))
-    model.run(ITERS, progress_bar=lambda it: it)
+    model.run(iters or ITERS, progress_bar=lambda it: it)
     return model, data
 
 
@@ -109,8 +109,13 @@ def check_crosstalk():
 
 
 def check_hmm():
+    # proximity is the slowest-annealing global (the eLife-scale runs show
+    # it still moving past 100k iterations); the hmm chain sharpens it
+    # slower than cosmos does, so give this fit a longer budget to land
+    # inside the same recovery window
     model, data = _fit(
-        "cosmos+hmm", {**BASE, "kon": 0.2, "koff": 0.2}, N=12, F=80, C=1
+        "cosmos+hmm", {**BASE, "kon": 0.2, "koff": 0.2}, N=12, F=80, C=1,
+        iters=16000,
     )
     gain = float(model.param("gain_loc"))
     assert abs(gain - 7.0) / 7.0 < 0.10, f"gain {gain} != 7"
