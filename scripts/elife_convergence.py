@@ -147,21 +147,44 @@ def main():
     ap.add_argument("--iters", type=int, default=0,
                     help="0 = run to convergence (max 100k)")
     ap.add_argument("--out", type=Path, default=None)
+    ap.add_argument("--frame-sampling", default="random",
+                    choices=["random", "window"],
+                    help="frame minibatch scheme (A/B: independent subsets "
+                         "vs cyclic window)")
+    ap.add_argument("--fit-model", default=None,
+                    choices=[None, "cosmos", "crosstalk", "cosmos+hmm"],
+                    help="model family to FIT (defaults to --model; e.g. "
+                         "fit cosmos on the hmm-simulated dataset as the "
+                         "warm-start stage)")
+    ap.add_argument("--warm-start", action="store_true",
+                    help="cosmos+hmm: initialize from the workspace's "
+                         "converged cosmos fit (run --fit-model cosmos on "
+                         "the same --out first)")
     args = ap.parse_args()
     out = args.out or Path("/tmp/tapqir_elife") / args.model.replace("+", "_")
+    fit_name = args.fit_model or args.model
 
     import jax
 
     from tapqir_tpu.models import models
 
     data = build_dataset(out, model_name=args.model)
-    model = models[args.model]()
+    model = models[fit_name]()
+    model.frame_sampling = args.frame_sampling
     model.data = data
     model.path = out
     model.run_path = out / ".tapqir"
     # hmm's z-chain needs every frame per batch row (no frame subsampling)
-    fbatch = data.F if args.model == "cosmos+hmm" else 512
+    fbatch = data.F if fit_name == "cosmos+hmm" else 512
     model.init(lr=0.005, nbatch_size=10, fbatch_size=fbatch)
+    if args.warm_start and fit_name == "cosmos+hmm":
+        if getattr(model, "iter", 0) == 0:
+            print("[elife] warm-starting cosmos+hmm from the cosmos fit",
+                  file=sys.stderr, flush=True)
+            model.warm_start_from_cosmos()
+        else:
+            print("[elife] checkpoint exists; warm start skipped (resuming)",
+                  file=sys.stderr, flush=True)
     # checkpoint cadence 200 (reference), but fetch/write the full state
     # only every 10th checkpoint: the 43 MB state costs ~3 s through the
     # axon tunnel and would dominate the wall clock
@@ -189,7 +212,10 @@ def main():
     n_on = int(data.is_ontarget.sum())
     result = {
         "metric": "elife_scale_convergence_run",
-        "model": args.model,
+        "model": fit_name,
+        "dataset_model": args.model,
+        "frame_sampling": args.frame_sampling,
+        "warm_start": bool(args.warm_start),
         "device": jax.devices()[0].platform,
         "Nt": data.Nt, "F": data.F, "P": data.P, "C": data.C,
         "iters": iters,
@@ -211,7 +237,7 @@ def main():
             ].items()
         },
     }
-    if args.model == "cosmos+hmm":
+    if fit_name == "cosmos+hmm":
         result["kinetics"] = recover_kinetics(out)
         result["kinetics"]["truth"] = {"kon": 0.02, "koff": 0.2}
     print(json.dumps(result))

@@ -284,9 +284,11 @@ def _resolve_mesh(model, mesh_opt, logger):
     """Build an ("aoi", "frame") device mesh from the --mesh option.
 
     "auto": AOI-shard over every visible device when more than one is
-    present (largest device count that divides Nt); "none"/"off"/"1x1":
-    single device; "AxB": explicit mesh shape (must divide Nt and F).
-    Returns None for the single-device path."""
+    present; "none"/"off"/"1x1": single device; "AxB": explicit mesh shape
+    (the frame axis must divide F). Arbitrary AOI counts are supported —
+    Model.pad_for_mesh pads the AOI axis with masked dead rows (real
+    DatasetA is a prime 857 AOIs), so auto-mesh never silently degrades
+    for divisibility reasons. Returns None for the single-device path."""
     import jax
 
     if mesh_opt in (None, "none", "off", "1x1"):
@@ -299,15 +301,6 @@ def _resolve_mesh(model, mesh_opt, logger):
         if len(devs) <= 1:
             return None
         d = len(devs)
-        while d > 1 and Nt % d != 0:
-            d -= 1
-        if d <= 1:
-            logger.warning(
-                f"{len(devs)} devices visible but none of 2..{len(devs)} "
-                f"divides Nt={Nt}; running single-device (pass --mesh AxB "
-                "to force a shape)"
-            )
-            return None
         logger.info(f"Auto mesh: {d} aoi x 1 frame over {len(devs)} devices")
         return make_mesh(d, 1)
     try:
@@ -316,9 +309,10 @@ def _resolve_mesh(model, mesh_opt, logger):
         raise click.UsageError(f"--mesh must be 'auto', 'none' or 'AxB', got {mesh_opt!r}")
     if n_a * n_f <= 1:
         return None
-    if Nt % n_a or F % n_f:
+    if F % n_f:
         raise click.UsageError(
-            f"mesh {n_a}x{n_f} must divide the dataset: Nt={Nt}, F={F}"
+            f"mesh frame axis {n_f} must divide F={F} (the frame axis is "
+            "not padded); AOI counts are padded automatically"
         )
     return make_mesh(n_a, n_f)
 
@@ -351,6 +345,10 @@ def _make_model(model, S, k_max, cpu, dtype):
 @click.option("--learning-rate", "-lr", type=float,
               default=lambda: get_default("learning-rate", 0.005),
               help="Learning rate")
+@click.option("--frame-sampling", type=click.Choice(["random", "window"]),
+              default="random",
+              help="Frame minibatch scheme: independent random subsets "
+                   "(reference behavior) or a cyclic contiguous window")
 @click.option("--num-iter", "-it", type=int, default=0,
               help="Number of iterations (0 = run to convergence)")
 @click.option("--k-max", "-k", type=int, default=2,
@@ -372,13 +370,18 @@ def _make_model(model, S, k_max, cpu, dtype):
               default="float32", help="Floating point precision")
 @click.option("--profile", type=int, default=0,
               help="Capture a jax profiler trace of N training steps and exit")
+@click.option("--warm-start/--no-warm-start", "warm_start", default=None,
+              help="cosmos+hmm only: initialize the chain guide from the "
+                   "workspace's converged cosmos fit (the recommended "
+                   "cosmos-then-hmm workflow). Default: on when a cosmos "
+                   "fit exists and no cosmos+hmm checkpoint does.")
 @click.option("--overwrite", "-w", is_flag=True, default=True,
               help="Persist these values to config.yaml")
 @click.option("--no-input", is_flag=True, default=False,
               help="Disable interactive prompt.")
-def fit(model, S, cpu, nbatch_size, fbatch_size, learning_rate, num_iter,
-        k_max, num_restarts, restart_iter, mesh, matlab, dtype, profile,
-        overwrite, no_input):
+def fit(model, S, cpu, nbatch_size, fbatch_size, learning_rate,
+        frame_sampling, num_iter, k_max, num_restarts, restart_iter, mesh,
+        matlab, dtype, profile, warm_start, overwrite, no_input):
     """Fit the data to the selected model (reference: tapqir/main.py:321-485).
 
     Available models: cosmos (time-independent), cosmos+hmm (hidden Markov),
@@ -423,12 +426,33 @@ def fit(model, S, cpu, nbatch_size, fbatch_size, learning_rate, num_iter,
 
     logger.info("Fitting the data ...")
     m = _make_model(model, S, k_max, cpu, dtype)
+    m.frame_sampling = frame_sampling
     try:
         m.load(cd)
     except TapqirFileNotFoundError as err:
         logger.exception(f"Failed to load {err.name} file")
         sys.exit(1)
     m.init(learning_rate, nbatch_size, fbatch_size)
+
+    # cosmos -> hmm warm start (the reference's recommended workflow): on by
+    # default for a FRESH cosmos+hmm fit when a cosmos fit is present
+    if model == "cosmos+hmm" and warm_start is not False:
+        cosmos_ckpt = Path(cd) / ".tapqir" / "cosmos_model.tpqr"
+        fresh = getattr(m, "iter", 0) == 0
+        if warm_start and not cosmos_ckpt.exists():
+            logger.error(
+                "--warm-start requires a cosmos fit in this workspace "
+                f"({cosmos_ckpt} not found); run `tapqir fit --model cosmos` "
+                "first"
+            )
+            sys.exit(1)
+        if cosmos_ckpt.exists() and (fresh or warm_start):
+            logger.info(
+                "Warm-starting cosmos+hmm from the cosmos fit "
+                "(--no-warm-start to disable)"
+            )
+            m.warm_start_from_cosmos()
+
     if profile:
         out = m.profile_trace(num_steps=profile)
         logger.info(f"Profiler trace written to {out}")
@@ -444,6 +468,7 @@ def fit(model, S, cpu, nbatch_size, fbatch_size, learning_rate, num_iter,
             if mesh_obj is not None:
                 from tapqir_tpu.parallel.sharding import fit_restarts_sharded
 
+                m.pad_for_mesh(mesh_obj)  # arbitrary Nt: masked dead rows
                 losses, best = fit_restarts_sharded(
                     m, mesh_obj, num_restarts=num_restarts,
                     num_iter=restart_iter, progress=progress,
@@ -536,6 +561,7 @@ def stats(model, S, cpu, nbatch_size, fbatch_size, k_max, matlab, dtype,
         sys.exit(1)
     mesh_obj = None if cpu else _resolve_mesh(m, mesh, logger)
     if mesh_obj is not None:
+        m.pad_for_mesh(mesh_obj)  # arbitrary Nt: masked dead rows
         m._mesh = mesh_obj  # shard the posterior-marginal blocks only
     m.compute_stats(save_matlab=matlab)
     logger.info("Computing stats: Done")

@@ -21,6 +21,7 @@ math is derived in closed form:
 """
 
 import math
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -42,8 +43,7 @@ from tapqir_tpu.distributions.core import (
     halfnormal_log_prob,
     std_gamma_sample_packed,
 )
-from tapqir_tpu.distributions.ksmogn import offset_gamma_log_prob_summed
-from tapqir_tpu.distributions.util import expand_offtarget, gaussian_spots_flat
+from tapqir_tpu.distributions.util import expand_offtarget
 from tapqir_tpu.infer.discrete import (
     log_probs_m,
     log_probs_theta,
@@ -388,13 +388,13 @@ class hmm(cosmos):
         lpw = affine_beta_log_prob(w, 1.5, 2.0, wmin, wmax)
         term_hw = jnp.einsum("mk,nfqk->mnfq", mtab, lph + lpw)
 
-        # flat lane-padded pixel layout end-to-end (see cosmos): in-kernel
-        # event reduction, no XLA relayout loops around the kernel
+        # flat lane-padded pixel layout end-to-end (see cosmos): spot-major
+        # render + factored in-kernel config assembly and event reduction
         ev_pad = obs.shape[-1]
-        gauss = gaussian_spots_flat(
+        spots = self._spots_kernel_layout(
             h, w, xs, ys, target_locs, P, ev_pad
-        )  # (n, F, C, K, EVP)
-        loglik = self._likelihood_flat(obs, b, gauss, mtab, gain, data)  # (M, n, F, C)
+        )  # (K, n, F, C, EVP)
+        loglik = self._likelihood_deltas(obs, b, spots, gain, data)  # (M, n, F, C)
 
         log_qm = jnp.einsum("mk,snfqk->msnfq", mtab, jnp.log(qm)) + jnp.einsum(
             "mk,snfqk->msnfq", 1.0 - mtab, jnp.log1p(-qm)
@@ -592,3 +592,143 @@ class hmm(cosmos):
         params = super().compute_params(CI)
         params["z_trans"] = self.param("z_trans")
         return params
+
+    # -- warm start from a converged cosmos fit --------------------------------
+    def warm_start_from_cosmos(self, path=None, num_particles=25, key=None):
+        """Initialize the guide from a converged cosmos fit in the same
+        workspace — the reference's own recommended workflow (fit the
+        time-independent cosmos model first, then the kinetic hmm; reference
+        docs tutorials part_iii, tapqir/models/hmm.py:28-36).
+
+        The mapping makes the hmm chain's marginals REPRODUCE the cosmos
+        posterior exactly at step 0, with the chain prior (init/trans)
+        estimated from that posterior:
+
+        * ``z_trans`` rows <- cosmos ``q(z_f)`` marginals (a row-independent
+          chain whose prefix products equal the cosmos marginals);
+        * ``init``/``trans`` <- empirical start distribution and expected
+          transition counts of the cosmos posterior over on-target AOIs —
+          at a rare-event regime this lands near the true kon/koff, so the
+          chain prior immediately penalizes the z-flicker that a cold
+          uniform-``trans`` start never recovers from;
+        * ``m_probs`` <- cosmos ``q(m)`` broadcast over the z-conditioning
+          axis;
+        * every shared continuous guide parameter (gain/lamda/proximity/
+          background/height/width/x/y and their spreads) copied — in
+          particular the proximity annealing (the slow axis of every cold
+          fit) is already done.
+
+        Must be called after :meth:`Model.init` (it resets the optimizer
+        state and iteration counter). Returns self.
+        """
+        from tapqir_tpu.models.cosmos import cosmos as cosmos_cls
+
+        path = Path(path) if path is not None else self.path
+        run_path = path / ".tapqir"
+        eps = 1e-5
+
+        cm = cosmos_cls(
+            S=self.S, K=self.K, dtype="float32"
+            if self.dtype == jnp.float32 else "double",
+            use_pallas=self.use_pallas, priors=self.priors,
+        )
+        cm.data = self.data
+        cm.path = path
+        cm.run_path = run_path
+        spec = cm.param_spec()
+        cm._transforms = {k: t for k, (v, t) in spec.items()}
+        cm.load_checkpoint(path=run_path, param_only=True)
+
+        Nt, F, C = self.data.Nt, self.data.F, self.data.C
+        N = self.data.N
+        S1 = self.S + 1
+
+        # cosmos posterior marginals: reuse saved stats when present (the
+        # cosmos fit pipeline ends in compute_stats), else compute them
+        stats_path = path / "cosmos_params.tpqr"
+        zp = None
+        if stats_path.exists():
+            with np.load(stats_path, allow_pickle=True) as z:
+                if "z_probs" in z.files:
+                    zp = np.asarray(z["z_probs"], np.float64)
+        if zp is None or zp.shape != (Nt, F, self.Q, S1):
+            cm.nbatch_size = self.nbatch_size or 10
+            cm.fbatch_size = min(512, F)
+            cm._data_dev = getattr(self, "_data_dev", None) or (
+                self._data_device_arrays()
+            )
+            zp = cm.compute_probs_arrays(num_particles=num_particles,
+                                         key=key)[0]
+
+        zp = np.clip(np.asarray(zp, np.float64), eps, 1.0)
+        zp /= zp.sum(-1, keepdims=True)
+        # off-target AOIs are never scored by compute_probs (z = 0 forced)
+        zp[N:] = eps
+        zp[N:, ..., 0] = 1.0 - (S1 - 1) * eps
+
+        # fresh parameter state, then overwrite from the cosmos fit
+        self.init_parameters()
+        params = dict(self.params)
+        tf = self._transforms
+
+        for name in params:
+            if name in cm.params and np.shape(cm.params[name]) == np.shape(
+                params[name]
+            ):
+                params[name] = jnp.asarray(cm.params[name], self.dtype)
+
+        # q(m | z): cosmos q(m) (K, Nt, F, Q), broadcast over z
+        qm = np.clip(np.asarray(cm.param("m_probs"), np.float64), 1e-3,
+                     1.0 - 1e-3)
+        params["m_probs"] = jnp.asarray(
+            tf["m_probs"].inverse(np.broadcast_to(qm, (S1,) + qm.shape)),
+            self.dtype,
+        )
+
+        # chain guide: rows = cosmos marginals (prefix products reproduce
+        # the cosmos posterior exactly at step 0)
+        zt = np.broadcast_to(
+            zp[:, :, :, None, :], (Nt, F, C, S1, S1)
+        )
+        params["z_trans"] = jnp.asarray(
+            tf["z_trans"].inverse(zt), self.dtype
+        )
+
+        # chain prior: empirical start + expected transition counts of the
+        # cosmos posterior (on-target AOIs only), lightly smoothed
+        on = zp[:N]  # (N, F, Q, S1)
+        init_mean = on[:, 0].mean(0).reshape(self.Q, S1)  # (Q, S1)
+        init_mean = np.clip(init_mean, 1e-4, 1.0)
+        init_mean /= init_mean.sum(-1, keepdims=True)
+        # T[q, i, j] ∝ sum_{n, f} q(z_{f-1} = i) q(z_f = j) + 1 pseudo-count
+        T = np.einsum("nfqi,nfqj->qij", on[:, :-1], on[:, 1:]) + 1.0
+        T /= T.sum(-1, keepdims=True)
+        params["init_mean"] = jnp.asarray(
+            tf["init_mean"].inverse(init_mean), self.dtype
+        )
+        params["trans_mean"] = jnp.asarray(
+            tf["trans_mean"].inverse(T), self.dtype
+        )
+        params["trans_size"] = jnp.asarray(
+            tf["trans_size"].inverse(np.full((self.Q, S1, 1), 10.0)),
+            self.dtype,
+        )
+
+        self.params = params
+        self.iter = 0
+        self.converged = False
+        self._rolling = {}
+        self.opt_state = self._init_opt_state()
+        self._key = jax.random.PRNGKey(0)
+        for cache in ("_z_probs_cache", "_theta_probs_cache", "_probs_cache"):
+            if hasattr(self, cache):
+                delattr(self, cache)
+        logger_name = __name__
+        import logging as _logging
+
+        _logging.getLogger(logger_name).info(
+            "Warm-started cosmos+hmm from the cosmos fit at "
+            f"{run_path / 'cosmos_model.tpqr'} "
+            f"(trans estimate: {np.round(T, 4).tolist()})"
+        )
+        return self

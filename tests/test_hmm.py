@@ -82,6 +82,48 @@ def test_z_sample_shapes(fitted):
     assert set(np.unique(zs)) <= {0, 1}
 
 
+def test_warm_start_from_cosmos(tmp_path):
+    """cosmos -> hmm warm start: the chain marginals reproduce the cosmos
+    posterior at step 0, shared guide params carry over, and the fit runs."""
+    data = simulate("cosmos+hmm", N=4, F=30, C=1, P=14, seed=3, params=PARAMS)
+    save(data, tmp_path)
+
+    cm = models["cosmos"]()
+    cm.load(tmp_path)
+    cm.init(lr=0.005, nbatch_size=4, fbatch_size=30)
+    cm.checkpoint_interval = 50
+    cm.run(100, progress_bar=lambda it: it)
+
+    hm = models["cosmos+hmm"]()
+    hm.load(tmp_path)
+    hm.init(lr=0.005, nbatch_size=4, fbatch_size=30)
+    hm.warm_start_from_cosmos(num_particles=5)
+
+    # shared continuous guide params copied verbatim
+    for name in ("gain_loc", "proximity_loc", "b_loc", "h_loc", "x_mean"):
+        np.testing.assert_allclose(
+            np.asarray(hm.params[name]), np.asarray(cm.params[name]),
+            rtol=1e-6,
+        )
+
+    # chain marginals == cosmos posterior marginals (up to the eps clip)
+    zp_cosmos, _ = cm.compute_probs_arrays(num_particles=5)
+    zp_hmm = hm.z_probs  # (Nt, F, C, 1+S)
+    np.testing.assert_allclose(
+        zp_hmm[: data.N], zp_cosmos[: data.N], atol=5e-2
+    )
+
+    # trans estimate is row-stochastic and diagonally dominant for a
+    # kon/koff chain with persistence
+    trans = hm.param("trans_mean")
+    np.testing.assert_allclose(trans.sum(-1), 1.0, atol=1e-5)
+
+    # the warm-started fit runs and keeps a finite loss
+    hm.checkpoint_interval = 50
+    hm.run(100, progress_bar=lambda it: it)
+    assert np.isfinite(hm._rolling["-ELBO"]).all()
+
+
 @pytest.mark.slow
 def test_elbo_finite_grads(fitted):
     import jax
@@ -97,3 +139,9 @@ def test_elbo_finite_grads(fitted):
     assert np.isfinite(float(val))
     for k, g in grads.items():
         assert bool(jnp.isfinite(g).all()), f"non-finite grad for {k}"
+
+
+def test_trajectory_golden(fitted, trajectory_golden_check):
+    """Fixed-seed -ELBO trajectory + posterior regression (VERDICT r4 #5)."""
+    model, _ = fitted
+    trajectory_golden_check(model, "cosmos+hmm")
