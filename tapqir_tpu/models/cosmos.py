@@ -52,7 +52,7 @@ from tapqir_tpu.distributions.core import (
     halfnormal_log_prob,
     std_gamma_sample_packed,
 )
-from tapqir_tpu.distributions.ksmogn import offset_gamma_log_prob_summed
+from tapqir_tpu.distributions.ksmogn import offset_gamma_factored_summed
 from tapqir_tpu.distributions.util import gaussian_spots_flat
 from tapqir_tpu.infer.discrete import (
     log_probs_m,
@@ -171,19 +171,36 @@ class cosmos(Model):
         return spec
 
     # -- ELBO -----------------------------------------------------------------
-    def _draw_batch(self, key, data):
+    def _draw_batch(self, key, data, key_ndx=None):
         """Subsampling draws + per-section keys, shared by :meth:`elbo` and
-        the window-space optimizer step (models/model.py:_build_step)."""
+        the window-space optimizer step (models/model.py:_build_step).
+
+        ``frame_sampling="random"`` draws an independent uniform frame
+        subset per step (sorted for monotonic gathers) — the reference's
+        scheme (tapqir/models/cosmos.py:202-207); ``"window"`` draws a
+        cyclic contiguous window at a random offset. Both are unbiased
+        (uniform per-frame inclusion probability f/F).
+
+        ``key_ndx``, when given, replaces the AOI-draw key — the sharded
+        step passes a key shared by every frame shard of a mesh row so all
+        of them gather the same AOI rows in the same order (required for
+        the frame-axis gradient reduction of AOI-replicated parameters;
+        see parallel/sharding.py)."""
         Nt, F = data["xy"].shape[0], data["xy"].shape[1]
         n = min(self.nbatch_size, Nt)
         f = min(self.fbatch_size, F)
         k_n, k_f, k_global, k_local = jax.random.split(key, 4)
+        if key_ndx is not None:
+            k_n = key_ndx
         ndx = jax.random.permutation(k_n, Nt)[:n]
-        f0 = jax.random.randint(k_f, (), 0, F)
-        return ndx, f0, f, k_global, k_local
+        if getattr(self, "frame_sampling", "window") == "random" and f < F:
+            fsel = jnp.sort(jax.random.permutation(k_f, F)[:f])
+        else:
+            fsel = jax.random.randint(k_f, (), 0, F)
+        return ndx, fsel, f, k_global, k_local
 
     def elbo(self, params_u, key, data, n_shards=1, frame_shards=1,
-             return_batch=False):
+             key_ndx=None, return_batch=False):
         """Minibatch ELBO from UNCONSTRAINED parameters. ``data`` arrays may
         be a local shard (inside shard_map); sizes are taken from the arrays
         themselves. With ``n_shards > 1`` the global term is divided so that
@@ -197,7 +214,7 @@ class cosmos(Model):
         elementwise, so transform-then-gather == gather-then-transform) -
         transforming the full (K, Nt, F, Q) arrays every step would cost
         ~12M transcendentals + HBM round-trips at production scale."""
-        ndx, f0, f, k_global, k_local = self._draw_batch(key, data)
+        ndx, f0, f, k_global, k_local = self._draw_batch(key, data, key_ndx)
         win = self.gather_windows(params_u, ndx, f0, f)
         value = self.elbo_from_windows(
             win, k_global, k_local, ndx, f0, f, data,
@@ -205,7 +222,8 @@ class cosmos(Model):
         )
         if return_batch:
             F = data["xy"].shape[1]
-            return value, (ndx, (f0 + jnp.arange(f)) % F)
+            fidx = f0 if jnp.ndim(f0) else (f0 + jnp.arange(f)) % F
+            return value, (ndx, fidx)
         return value
 
     def elbo_from_windows(self, win, k_global, k_local, ndx, f0, f_b, data,
@@ -260,7 +278,7 @@ class cosmos(Model):
                 ndx[:, None] * F_l + jnp.arange(F_l)[None, :]
             ).reshape(-1)
         else:
-            fidx = (f0 + jnp.arange(f_b)) % F_l
+            fidx = f0 if jnp.ndim(f0) else (f0 + jnp.arange(f_b)) % F_l
             flat_ndx = (ndx[:, None] * F_l + fidx[None, :]).reshape(-1)
 
         def g2a(arr):  # raw DATA (Nt, F, ...) -> (n, f, ...)
@@ -511,39 +529,53 @@ class cosmos(Model):
         wq = jnp.exp(log_qm)
 
         # likelihood per m-config (Q == C for cosmos), in the lane-padded
-        # flat pixel layout end-to-end: the event reduction runs INSIDE the
-        # Pallas kernel (offset_gamma_summed_pallas), so no XLA relayout
-        # loops form around it (profiled)
+        # flat pixel layout end-to-end: the per-config concentration is
+        # FACTORED into base + per-spot deltas and assembled INSIDE the
+        # Pallas kernel (1 + K exponentials per (pixel, offset) instead of
+        # 2^K, no (M, batch, EVP) concentration build) — see
+        # ops/offset_gamma.py "factored variant"
         ev_pad = obs.shape[-1]
-        gauss = gaussian_spots_flat(
+        spots = self._spots_kernel_layout(
             h, w, xs, ys, target_locs, P, ev_pad
-        )  # (n, f, C, K, EVP)
-        loglik = self._likelihood_flat(obs, b, gauss, mtab, gain, data)
+        )  # (K, n, f, C, EVP)
+        loglik = self._likelihood_deltas(obs, b, spots, gain, data)
 
         return (wq * (inner + term_hw + loglik - log_qm - term_q)).sum(0)  # (n, f, Q)
 
-    def _likelihood_flat(self, obs, b, gauss, mtab, gain, data):
-        """(M, n, f, C) event-summed KSMOGN log-likelihood from the rendered
-        spots: the per-config concentration is built by an XLA einsum and
-        reduced INSIDE the Pallas kernel. (A "mixed" variant that built the
-        per-config concentrations inside the kernel from shared components
-        was benchmarked three times on real v5e hardware - cosmos 367.6 vs
-        367.7, crosstalk 72.1 vs 72.8, hmm 230.9 vs 246.2 steps/s - and
-        never won, so it was removed in round 4; see README "kernel
-        variants".)"""
+    @staticmethod
+    def _spots_kernel_layout(h, w, xs, ys, target_locs, P, ev_pad):
+        """Rendered spots in the kernel's (K, n, f, C, EVP) layout.
+
+        The spot-major layout is produced DIRECTLY by transposing the tiny
+        (n, f, Q, K) parameter tensors before the render, so the 10s-of-MB
+        rendered tensor is never relayout-copied (transposing it after the
+        fact costs ~2x its size in HBM traffic per step)."""
+
+        def tr(a):  # (n, f, Q, K) -> (K, n, f, Q, 1)
+            return jnp.moveaxis(a, -1, 0)[..., None]
+
+        g = gaussian_spots_flat(
+            tr(h), tr(w), tr(xs), tr(ys), target_locs[None], P, ev_pad
+        )  # (K, n, f, C, 1, EVP)
+        return g[..., 0, :]
+
+    def _likelihood_deltas(self, obs, b, spots, gain, data):
+        """(M, n, f, C) event-summed KSMOGN log-likelihood from spot-major
+        rendered spots (K, n, f, C, EVP): config m scores concentration
+        (b + sum_k mtab[m,k] spots_k) / gain via the factored kernel."""
         n_, f_, C_ = obs.shape[:3]
         ev_pad = obs.shape[-1]
-        K = gauss.shape[-2]
+        K = spots.shape[0]
         P = self.data.P
-        gauss_flat = gauss.reshape(n_ * f_ * C_, K, ev_pad)
-        img_flat = b.reshape(-1)[None, :, None] + jnp.einsum(
-            "mk,xkp->mxp", mtab, gauss_flat
-        )  # (M, nfc, EVP)
-        return offset_gamma_log_prob_summed(
-            obs.reshape(n_ * f_ * C_, ev_pad), img_flat / gain, 1.0 / gain,
+        mtab_np = m_configs(K)  # static (M, K)
+        return offset_gamma_factored_summed(
+            obs.reshape(n_ * f_ * C_, ev_pad),
+            b.reshape(-1) / gain,
+            spots.reshape(K, n_ * f_ * C_, ev_pad) / gain,
+            mtab_np, 1.0 / gain,
             data["offset_samples"], data["offset_logits"],
-            event_ndims=1, use_pallas=self.use_pallas, ev=P * P,
-        ).reshape(mtab.shape[0], n_, f_, C_)  # (M, n, f, C)
+            ev=P * P, use_pallas=self.use_pallas,
+        ).reshape(mtab_np.shape[0], n_, f_, C_)  # (M, n, f, C)
 
     # -- posterior probabilities (reference: cosmos.py:609-672) ----------------
     def _probs_batch(self, pc, key, ndx, fdx, data, num_particles):
@@ -641,9 +673,10 @@ class cosmos(Model):
             )
             key = jax.random.PRNGKey(0) if key is None else key
             z_p, th_p = probs_fn(params_sh, key, data_sh)
+            Nt = self.data.Nt  # slice mesh AOI padding (pad_for_mesh)
             return (
-                np.asarray(z_p, np.float64),
-                np.asarray(th_p, np.float64),
+                np.asarray(z_p, np.float64)[:Nt],
+                np.asarray(th_p, np.float64)[:, :Nt],
             )
         data = self._data_dev
         pc = self.constrained()

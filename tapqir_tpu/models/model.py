@@ -48,6 +48,25 @@ def _fwin(sub, f0, f_b, axis):
     return jax.lax.dynamic_slice_in_dim(ext, f0, f_b, axis=axis)
 
 
+def _fsel(rows, f0, f_b, axis):
+    """Frame selection along ``axis``: a cyclic contiguous window when ``f0``
+    is a scalar offset, or an arbitrary (sorted) index gather when ``f0`` is
+    an index array (``frame_sampling="random"``: independent subsets, the
+    reference's sampling scheme — tapqir/models/cosmos.py:202-207)."""
+    if jnp.ndim(f0) == 0:
+        return _fwin(rows, f0, f_b, axis)
+    return jnp.take(rows, f0, axis)
+
+
+def _unfsel(rows, win, f0, axis):
+    """Inverse of :func:`_fsel`: splice an updated frame window back into the
+    full-frame ``rows``."""
+    if jnp.ndim(f0) == 0:
+        return _unfwin(rows, win, f0, axis)
+    idx = (slice(None),) * axis + (f0,)
+    return rows.at[idx].set(win, unique_indices=True)
+
+
 def _unfwin(rows, win, f0, axis):
     """Inverse of :func:`_fwin`: splice an updated cyclic window back into
     the full-frame ``rows``, without data-dependent branching.
@@ -135,6 +154,12 @@ class Model:
         # minibatch-sparse Adam (reference semantics: pyro only steps the
         # params in the trace); False falls back to dense optax.adam
         self.sparse_adam = True
+        # frame minibatch scheme: "random" draws an independent uniform
+        # frame subset per step (the reference's sampling,
+        # tapqir/models/cosmos.py:202-207); "window" uses a cyclic
+        # contiguous window at a random offset (cheaper gather/scatter,
+        # temporally correlated batches). Both are unbiased.
+        self.frame_sampling = "random"
         self.n = None  # fixed AOI subset (plotting/stats), as in the reference
         self.f = None
         self.data_path = None
@@ -244,8 +269,10 @@ class Model:
         return {k: self._transforms[k](v) for k, v in params.items()}
 
     def param(self, name):
-        """Constrained value of a variational parameter (pyro.param analog)."""
-        return np.asarray(self._transforms[name](self.params[name]))
+        """Constrained value of a variational parameter (pyro.param analog).
+        Mesh AOI padding (pad_for_mesh) is sliced off."""
+        v = np.asarray(self._transforms[name](self.params[name]))
+        return self._unpad_aoi_host({name: v})[name]
 
     # -- SVI ----------------------------------------------------------------------
     def init(
@@ -335,7 +362,7 @@ class Model:
             a_ax, f_ax = wspec[name]
             rows = jnp.take(v, ndx, a_ax)
             if f0 is not None and f_ax is not None and f_b != v.shape[f_ax]:
-                rows = _fwin(rows, f0, f_b, f_ax)
+                rows = _fsel(rows, f0, f_b, f_ax)
             out[name] = rows
         return out
 
@@ -353,7 +380,7 @@ class Model:
             w = win[name]
             if f0 is not None and f_ax is not None and f_b != v.shape[f_ax]:
                 rows = jnp.take(v, ndx, a_ax)
-                w = _unfwin(rows, w, f0, f_ax)
+                w = _unfsel(rows, w, f0, f_ax)
             idx = (slice(None),) * a_ax + (ndx,)
             out[name] = v.at[idx].set(w, unique_indices=True)
         return out
@@ -486,8 +513,8 @@ class Model:
                 view = counts["af"].reshape(Nt_l, F_l)
                 rows = jnp.take(view, ndx, 0)  # (n, F)
                 if f_b is not None and f_b != F_l:
-                    t_af = _fwin(rows, f0, f_b, 1) + 1
-                    rows_new = _unfwin(rows, t_af, f0, 1)
+                    t_af = _fsel(rows, f0, f_b, 1) + 1
+                    rows_new = _unfsel(rows, t_af, f0, 1)
                 else:
                     t_af = rows + 1
                     rows_new = t_af
@@ -550,6 +577,108 @@ class Model:
         self._run_chunk = run_chunk
 
     # -- multi-chip ------------------------------------------------------------
+    def mesh_aoi_padding(self, mesh) -> int:
+        """Padded AOI count for the mesh's "aoi" axis (next multiple)."""
+        n_aoi = int(mesh.shape["aoi"])
+        Nt = self.data.Nt
+        return -(-Nt // n_aoi) * n_aoi
+
+    def pad_for_mesh(self, mesh) -> None:
+        """Pad the AOI axis of params/optimizer/data with masked dead rows
+        so ANY dataset shape can shard over the mesh (real DatasetA has a
+        prime 857 AOIs — reference tutorial part_ii:76,102-103).
+
+        Dead rows carry ``mask = 0``, which multiplies every per-AOI ELBO
+        term (likelihood, priors, chain) to exactly zero — they cost a
+        slice of batch slots but contribute no gradient and no bias (the
+        plate scale Nt_pad/n is exact for the population including dead
+        rows). Dead images hold offset.max + 1 so their (masked) Gamma
+        log-probs stay finite; dead params replicate the last real row.
+        Idempotent; :meth:`save_checkpoint` slices the padding back off so
+        checkpoints stay interchangeable with single-device runs. The frame
+        axis is NOT padded (the hmm chain and the sequence-parallel scan
+        give dead frames nonzero chain terms); explicit AxB meshes must
+        divide F."""
+        Nt = self.data.Nt
+        Nt_pad = self.mesh_aoi_padding(mesh)
+        n_frame = int(mesh.shape["frame"])
+        if self.data.F % n_frame:
+            raise ValueError(
+                f"mesh frame axis {n_frame} must divide F={self.data.F} "
+                "(the frame axis is not padded); use an AOI-only mesh"
+            )
+        if Nt_pad == Nt:
+            return
+        pad = Nt_pad - Nt
+        wspec = self._window_spec()
+
+        def pad_edge(v, ax):
+            if v.shape[ax] != Nt:  # already padded
+                return v
+            cfg = [(0, 0)] * v.ndim
+            cfg[ax] = (0, pad)
+            return jnp.pad(v, cfg, mode="edge")
+
+        def pad_tree(tree):
+            return {
+                k: pad_edge(v, wspec[k][0]) if k in wspec else v
+                for k, v in tree.items()
+            }
+
+        self.params = pad_tree(self.params)
+        adam = self.opt_state[0]
+        counts = adam.count
+        if isinstance(counts, dict):  # sparse per-row counts
+            new_counts = dict(counts)
+            if "a" in counts and counts["a"].shape[0] == Nt:
+                new_counts["a"] = jnp.pad(counts["a"], (0, pad))
+            if "af" in counts and counts["af"].shape[0] == Nt * self.data.F:
+                new_counts["af"] = jnp.pad(
+                    counts["af"], (0, pad * self.data.F)
+                )
+            counts = new_counts
+        adam = adam._replace(
+            count=counts, mu=pad_tree(adam.mu), nu=pad_tree(adam.nu)
+        )
+        self.opt_state = (adam,) + tuple(self.opt_state[1:])
+
+        d = self._data_dev
+        pad_val = jnp.max(d["offset_samples"]) + 1.0
+        imgs = d["images"]
+        self._data_dev = dict(
+            d,
+            images=jnp.concatenate(
+                [imgs, jnp.full((pad,) + imgs.shape[1:], pad_val,
+                                imgs.dtype)], 0
+            ),
+            xy=jnp.pad(d["xy"], [(0, pad)] + [(0, 0)] * (d["xy"].ndim - 1),
+                       mode="edge"),
+            is_ontarget=jnp.pad(d["is_ontarget"], (0, pad)),
+            mask=jnp.pad(d["mask"], (0, pad)),  # zeros: dead rows
+        )
+        self._aoi_pad = pad
+        logger.info(
+            f"Padded {Nt} AOIs with {pad} masked dead rows for the "
+            f"{dict(mesh.shape)} mesh"
+        )
+
+    def _unpad_aoi_host(self, tree):
+        """Slice mesh AOI padding off a host-side parameter-shaped tree."""
+        if not getattr(self, "_aoi_pad", 0):
+            return tree
+        Nt = self.data.Nt
+        wspec = self._window_spec()
+        out = {}
+        for k, v in tree.items():
+            if k in wspec:
+                ax = wspec[k][0]
+                if v.shape[ax] > Nt:
+                    sl = [slice(None)] * v.ndim
+                    sl[ax] = slice(0, Nt)
+                    v = v[tuple(sl)]
+            out[k] = v
+        return out
+
     def use_mesh(self, mesh) -> None:
         """Route training through an ("aoi", "frame") device mesh.
 
@@ -573,6 +702,7 @@ class Model:
         )
 
         mesh = self._mesh
+        self.pad_for_mesh(mesh)
         # the sharded step updates with plain optax Adam (scalar count)
         self.sparse_adam = False
         param_specs = self.param_partition()
@@ -753,6 +883,12 @@ class Model:
                 )
             )
             finite_h, small_h, params_h, mu_h, nu_h, count_h = host
+            # mesh AOI padding stays a device-side artifact: checkpoints
+            # written at real dataset size stay interchangeable with
+            # single-device runs (pad_for_mesh re-pads on reload)
+            params_h = self._unpad_aoi_host(params_h)
+            mu_h = self._unpad_aoi_host(mu_h)
+            nu_h = self._unpad_aoi_host(nu_h)
         else:
             finite_h, small_h = jax.device_get(
                 (finite, {n: self._transforms[n](self.params[n]) for n in small})

@@ -88,6 +88,20 @@ def _gauss_spot(h, w, sx, sy, P):
     return g
 
 
+def oracle_frames(model, k_f, F, f_b):
+    """Mirror cosmos._draw_batch's frame selection for the given key:
+    independent sorted subset ("random", the default) or cyclic contiguous
+    window ("window")."""
+    if f_b == F:
+        return list(range(F))
+    if getattr(model, "frame_sampling", "window") == "random":
+        return np.asarray(
+            jnp.sort(jax.random.permutation(k_f, F)[:f_b])
+        ).tolist()
+    f0 = int(jax.random.randint(k_f, (), 0, F))
+    return [(f0 + j) % F for j in range(f_b)]
+
+
 def naive_cosmos_elbo(model, pu, key):
     """Loop-based reimplementation of cosmos.elbo for one key (float64)."""
     data = model.data
@@ -103,10 +117,7 @@ def naive_cosmos_elbo(model, pu, key):
     # ---- batching (mirrors cosmos.elbo:171-181) ----------------------------
     k_n, k_f, k_global, k_local = jax.random.split(key, 4)
     ndx = np.asarray(jax.random.permutation(k_n, Nt)[:n])
-    f0 = int(jax.random.randint(k_f, (), 0, F))
-    frames = (
-        list(range(F)) if f_b == F else [(f0 + j) % F for j in range(f_b)]
-    )
+    frames = oracle_frames(model, k_f, F, f_b)
     tfm = model._transforms
     pc = {k: np.asarray(tfm[k](v), np.float64) for k, v in pu.items()}
 
@@ -416,10 +427,7 @@ def naive_crosstalk_elbo(model, pu, key):
 
     k_n, k_f, k_global, k_local = jax.random.split(key, 4)
     ndx = np.asarray(jax.random.permutation(k_n, Nt)[:n])
-    f0 = int(jax.random.randint(k_f, (), 0, F))
-    frames = (
-        list(range(F)) if f_b == F else [(f0 + j) % F for j in range(f_b)]
-    )
+    frames = oracle_frames(model, k_f, F, f_b)
     tfm = model._transforms
     pc = {k: np.asarray(tfm[k](v), np.float64) for k, v in pu.items()}
 
