@@ -28,6 +28,7 @@ from tapqir_tpu.distributions.util import gaussian_spots
 __all__ = [
     "offset_gamma_log_prob",
     "offset_gamma_log_prob_summed",
+    "offset_gamma_factored_summed",
     "ksmogn_image",
     "ksmogn_log_prob",
     "KSMOGN",
@@ -144,6 +145,57 @@ def offset_gamma_log_prob_summed(
         value, concentration, rate, offset_samples, offset_logits
     )
     return lp.sum(tuple(range(-event_ndims, 0)))
+
+
+def offset_gamma_factored_summed(
+    value, base, deltas, mtab, rate, offset_samples, offset_logits,
+    ev, use_pallas=None,
+):
+    """Event-summed offset-Gamma log-pdf over all spot-presence configs,
+    with the per-config concentration a_m = base + sum_k mtab[m,k] deltas[k]
+    built INSIDE the kernel from additive parts (ops/offset_gamma.py,
+    factored variant) — 1 + Kf exponentials per (pixel, offset) instead of
+    M = 2^Kf, and no (M, batch, EVP) concentration materialization.
+
+    :param value: batch + (EVP,) lane-padded flat images.
+    :param base: batch — per-image base concentration (no spots).
+    :param deltas: (Kf,) + batch + (EVP,) per-spot contributions >= 0.
+    :param mtab: static (M, Kf) 0/1 array of configs.
+    :param ev: number of real pixels (static); the rest of EVP is masked.
+    :return: (M,) + batch log-probabilities summed over each image's pixels.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    import numpy as _np
+
+    mtab = _np.asarray(mtab)
+    M = mtab.shape[0]
+    Kf, batch_shape, ev_pad = deltas.shape[0], deltas.shape[1:-1], deltas.shape[-1]
+    nb = 1
+    for d in batch_shape:
+        nb *= d
+    if use_pallas:
+        from tapqir_tpu.ops.offset_gamma import (
+            offset_gamma_factored_summed_pallas,
+        )
+
+        try:
+            out = offset_gamma_factored_summed_pallas(
+                value.reshape(nb, ev_pad),
+                base.reshape(nb),
+                deltas.reshape(Kf, nb, ev_pad),
+                mtab, rate, offset_samples, offset_logits, ev,
+            )  # (M, nb)
+            return out.reshape((M,) + batch_shape)
+        except NotImplementedError:
+            pass
+    mt = jnp.asarray(mtab, deltas.dtype)  # (M, Kf)
+    conc = base[..., None] + jnp.tensordot(mt, deltas, axes=(1, 0))
+    mask = (jnp.arange(ev_pad) < ev).astype(deltas.dtype)
+    lp = _offset_gamma_log_prob_xla(
+        value, conc, rate, offset_samples, offset_logits
+    )
+    return (lp * mask).sum(-1)
 
 
 def _offset_gamma_log_prob_xla(value, concentration, rate, offset_samples, offset_logits):

@@ -15,7 +15,7 @@ import numpy as np
 
 from tapqir_tpu import constraints
 from tapqir_tpu.distributions.core import dirichlet_log_prob, dirichlet_sample
-from tapqir_tpu.distributions.ksmogn import offset_gamma_log_prob_summed
+from tapqir_tpu.distributions.ksmogn import offset_gamma_factored_summed
 from tapqir_tpu.distributions.util import gaussian_spots_flat
 from tapqir_tpu.infer.discrete import m_configs
 from tapqir_tpu.models.cosmos import cosmos
@@ -108,8 +108,7 @@ class crosstalk(cosmos):
             h_loc, h_beta, w_mean, w_size, x_mean, y_mean, size,
         )  # each (Mq, n, f, Q)
 
-        mtab_full, onehot = _global_m_configs(K, Q)
-        mtab_full = jnp.asarray(mtab_full, dtype)  # (Mf, Q, K)
+        mtab_full_np, onehot = _global_m_configs(K, Q)  # (Mf, Q, K) 0/1
         onehot = jnp.asarray(onehot, dtype)  # (Mf, Q, Mq)
 
         # combine per-dye tables into global-config tables (Mf, n, f)
@@ -124,27 +123,33 @@ class crosstalk(cosmos):
 
         # alpha-mixed likelihood: dye q's spot is rendered in every channel c
         # at that channel's target coordinates (reference: ksmogn.py:95-106,
-        # target_locs unsqueezed over the dye axis), then scaled by alpha[q,c].
-        # Lane-padded flat pixel layout end-to-end with the in-kernel event
-        # reduction (see cosmos); channels are batch rows for the kernel and
-        # the (C,) partials are summed afterwards to the (C, P, P) event sum.
+        # target_locs unsqueezed over the dye axis), scaled by alpha[q, c] at
+        # the HEIGHT (so the render emits spot-major deltas directly). The
+        # 2^(K*Q) global-config concentrations are assembled INSIDE the
+        # factored Pallas kernel from base + the Q*K per-spot deltas — 5
+        # exponentials per (pixel, offset) instead of 16, and no
+        # (16, batch, EVP) concentration build (ops/offset_gamma.py).
         n_, f_ = obs.shape[:2]
         ev_pad = obs.shape[-1]
-        gauss = gaussian_spots_flat(
-            h[..., None, :], w[..., None, :], xs[..., None, :], ys[..., None, :],
-            target_locs[..., None, :, :], P, ev_pad,
-        )  # (n, f, Q, C, K, EVP)
-        Mf = mtab_full.shape[0]
-        gauss_flat = gauss.reshape(n_ * f_, Q, C, K, ev_pad)
-        img_flat = b.reshape(n_ * f_, C, 1) + jnp.einsum(
-            "gqk,qc,xqckp->gxcp", mtab_full, alpha, gauss_flat
-        )  # (Mf, nf, C, EVP)
-        loglik = offset_gamma_log_prob_summed(
+
+        def qk_major(a):  # (n, f, Q, K) -> (Q, K, n, f, 1, 1)
+            return jnp.moveaxis(a, (2, 3), (0, 1))[..., None, None]
+
+        h_mixed = qk_major(h) * alpha[:, None, None, None, :, None]
+        spots = gaussian_spots_flat(
+            h_mixed, qk_major(w), qk_major(xs), qk_major(ys),
+            target_locs[None, None], P, ev_pad,
+        )  # (Q, K, n, f, C, 1, EVP)
+        Mf = mtab_full_np.shape[0]
+        deltas = spots[..., 0, :].reshape(Q * K, n_ * f_ * C, ev_pad)
+        loglik = offset_gamma_factored_summed(
             obs.reshape(n_ * f_ * C, ev_pad),
-            img_flat.reshape(Mf, n_ * f_ * C, ev_pad) / gain,
+            b.reshape(-1) / gain,
+            deltas / gain,
+            mtab_full_np.reshape(Mf, Q * K),
             1.0 / gain,
             data["offset_samples"], data["offset_logits"],
-            event_ndims=1, use_pallas=self.use_pallas, ev=P * P,
+            ev=P * P, use_pallas=self.use_pallas,
         ).reshape(Mf, n_, f_, C).sum(-1)  # event dims (C, P, P)
 
         local = (

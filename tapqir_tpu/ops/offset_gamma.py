@@ -463,6 +463,327 @@ def _lse_sum_bwd(ev, TB, res, go):
 _lse_sum_core.defvjp(_lse_sum_fwd, _lse_sum_bwd)
 
 
+# ---------------------------------------------------------------------------
+# factored variant: per-SPOT exponential factors instead of per-CONFIG exps
+# ---------------------------------------------------------------------------
+#
+# The m-config concentrations share additive structure:
+#     a[m] = base + sum_k mtab[m, k] * delta[k]        (mtab in {0,1}^(M,Kf))
+# so the per-offset exponent factorizes:
+#     exp(c_j + (a_m - 1) L_j)
+#       = exp(c_j + (base - 1) L_j) * prod_{k in m} exp(delta_k L_j)
+# i.e. 1 + Kf exponentials per (pixel, offset) cover ALL M = 2^Kf configs
+# (crosstalk: 5 instead of 16; cosmos: 3 instead of 4) - per-config work
+# drops to pure multiplies. Overflow control uses analytic per-pixel BOUNDS
+# instead of per-config max passes: each factor is shifted by its own
+# per-pixel extremal L (Lmax for delta_k >= 0; Lmax/Lmin selected by the
+# sign of base - 1), making every shifted factor <= 1; the bound's
+# looseness (<= the spread of c_j plus cross-terms, tens of log-units on
+# real data) sits far above the f32 exp underflow at -87, and the final
+# log(sum) restores the exact value. The upstream per-config concentration
+# einsum ((M, nb, EVP) build + its backward) disappears entirely: callers
+# pass base + per-spot deltas and the VJP returns d(base)/d(delta) directly.
+#
+# Replaces the same reference native path (pykeops LogSumExp kernel,
+# /root/reference/tapqir/distributions/ksmogn.py:188-221) as the summed
+# kernel above, at 2^Kf-config scaling instead of per-config exps.
+
+BIG = 3.0e38
+
+
+def _fact_halves(Kf: int):
+    """Split the Kf factors into halves A/B for the subset-product tables
+    (config products become at most ONE multiply of a pA and a pB entry)."""
+    nA = (Kf + 1) // 2
+    A = list(range(nA))
+    B = list(range(nA, Kf))
+    extraA = (1 << len(A)) - 1 - len(A)  # A-subsets of size >= 2
+    extraB = (1 << len(B)) - 1 - len(B)
+    return A, B, extraA, extraB
+
+
+def _pick_tile_batch_factored(J: int, Kf: int, M: int, EVP: int):
+    """Images per grid step: staging buffers (L, d, eb, Kf factors, subset
+    extras) of (J, TB, EVP), ~3 Mosaic temporaries of the same size, plus
+    double-buffered in/out blocks, within a conservative VMEM budget (the
+    scoped limit is 16 MB; compile fails loudly above it)."""
+    _, _, extraA, extraB = _fact_halves(Kf)
+    n_buf = 3 + Kf + extraA + extraB + 3  # +3 live temporaries
+    for tb in (32, 16, 8):
+        scratch = n_buf * J * tb * EVP * 4
+        io = 2 * ((2 + Kf) * tb * EVP + 2 * M * tb * EVP + M * tb * LANE) * 4
+        if scratch + io <= 11 * 1024 * 1024:
+            return tb
+    return None
+
+
+def _fact_stats_kernel(ev, mtab, g_ref, w_ref, b_ref, x_ref, base_ref,
+                       del_ref, out_ref, spl_ref, spd_ref, lbuf, dbuf, cbuf,
+                       *ebufs):
+    """Forward + gradient statistics for all M = len(mtab) configs from
+    1 + Kf staged exponential factors.
+
+    mtab is a static tuple-of-tuples in {0,1}; config m's concentration is
+    a_m = base + sum_k mtab[m][k] delta_k.
+    """
+    J = g_ref.shape[0]
+    EVP = x_ref.shape[-1]
+    Kf = del_ref.shape[0]
+    M = len(mtab)
+    x = x_ref[:]
+    base = base_ref[:, 0:1]  # (TB, 1): per-image scalar, lane-broadcast
+    rate = b_ref[0]
+
+    # pass 0: stage d, L, c and the per-pixel extremal L / max c
+    def stage(j, _):
+        d = x - g_ref[j]
+        ok = d > 0.0
+        lbuf[j] = jnp.where(ok, jnp.log(jnp.where(ok, d, 1.0)), 0.0)
+        cbuf[j] = jnp.where(ok, w_ref[j] - rate * d, NEG)
+        dbuf[j] = jnp.where(ok, d, 0.0)
+        return 0
+
+    jax.lax.fori_loop(0, J, stage, 0)
+    okm = dbuf[:] > 0.0
+    cmax = jnp.max(cbuf[:], axis=0)  # (TB, EVP)
+    Lmax = jnp.max(jnp.where(okm, lbuf[:], -BIG), axis=0)
+    Lmin = -jnp.max(jnp.where(okm, -lbuf[:], -BIG), axis=0)
+    # all-masked pixels (x below every offset bin): keep exponents finite;
+    # cmax stays NEG so the output is ~-1e30 (matches the summed kernel)
+    any_ok = Lmax > -BIG
+    Lmax = jnp.where(any_ok, Lmax, 0.0)
+    Lmin = jnp.where(any_ok, Lmin, 0.0)
+    # base - 1 < 0 flips which extremal L bounds the base factor
+    Lref_b = jnp.where(base >= 1.0, Lmax, Lmin)  # (TB, EVP)
+
+    # pass 1: the 1 + Kf shifted factors, every one in (0, 1]
+    A, B, extraA, extraB = _fact_halves(Kf)
+    pbufs = ebufs[Kf:]  # extra scratch for subset products
+    ebufs = ebufs[:Kf]
+
+    def factors(j, _):
+        Lsh_b = lbuf[j] - Lref_b
+        cbuf[j] = jnp.exp(cbuf[j] - cmax + (base - 1.0) * Lsh_b)  # eb in place
+        Lsh = lbuf[j] - Lmax
+        for k in range(Kf):
+            ebufs[k][j] = jnp.exp(del_ref[k] * Lsh)
+        return 0
+
+    jax.lax.fori_loop(0, J, factors, 0)
+
+    # subset-product tables: pA[S] = eb * prod_{k in S} e_k over A-subsets,
+    # pB[S] = prod_{k in S} e_k over B-subsets — every config's product is
+    # then AT MOST ONE multiply, and Mosaic's live temporaries stay O(1)
+    # (a chained-multiply-per-config form blew the 16 MB scoped-VMEM limit)
+    pA = {0: cbuf}
+    pB = {}
+    nxt = 0
+    # extras first (need the raw singleton factors), sizes ascending
+    for size in (2, 3):
+        for bits in range(1, 1 << len(A)):
+            if bin(bits).count("1") != size:
+                continue
+            ks = [A[i] for i in range(len(A)) if bits & (1 << i)]
+            buf = pbufs[nxt]
+            nxt += 1
+            t = cbuf[:]
+            for k in ks:
+                t = t * ebufs[k][:]
+            buf[:] = t
+            pA[bits] = buf
+        for bits in range(1, 1 << len(B)):
+            if bin(bits).count("1") != size:
+                continue
+            ks = [B[i] for i in range(len(B)) if bits & (1 << i)]
+            buf = pbufs[nxt]
+            nxt += 1
+            t = ebufs[ks[0]][:]
+            for k in ks[1:]:
+                t = t * ebufs[k][:]
+            buf[:] = t
+            pB[bits] = buf
+    # A-singletons: fold eb in, in place
+    for i, k in enumerate(A):
+        ebufs[k][:] = cbuf[:] * ebufs[k][:]
+        pA[1 << i] = ebufs[k]
+    for i, k in enumerate(B):
+        pB[1 << i] = ebufs[k]
+
+    mask = _ev_mask(ev, EVP, x.dtype)
+    log_rate = jnp.log(rate)
+    inv_rate = 1.0 / rate
+    base_full = base * jnp.ones((1, EVP), x.dtype)
+    for m in range(M):
+        bits = mtab[m]
+        bitsA = sum((1 << i) for i, k in enumerate(A) if bits[k])
+        bitsB = sum((1 << i) for i, k in enumerate(B) if bits[k])
+        t = pA[bitsA][:]
+        if bitsB:
+            t = t * pB[bitsB][:]
+        a = base_full
+        sdelta = None
+        for k in range(Kf):
+            if bits[k]:
+                dk = del_ref[k]
+                a = a + dk
+                sdelta = dk if sdelta is None else sdelta + dk
+        s = jnp.sum(t, axis=0)  # (TB, EVP)
+        sL = jnp.sum(t * lbuf[:], axis=0)
+        sd = jnp.sum(t * dbuf[:], axis=0)
+        inv_s = 1.0 / s
+        # undo the per-factor shifts: + cmax + (base-1) Lref_b + sdelta Lmax
+        shift = cmax + (base - 1.0) * Lref_b
+        if sdelta is not None:
+            shift = shift + sdelta * Lmax
+        pre = (
+            jnp.log(s) + shift + a * log_rate - _lgamma_stirling(a)
+        ) * mask
+        out_ref[m] = pre.reshape(pre.shape[0], EVP // LANE, LANE).sum(1)
+        spl_ref[m] = (sL * inv_s + log_rate - _digamma_stirling(a)) * mask
+        spd_ref[m] = (a * inv_rate - sd * inv_s) * mask
+
+
+def _fact_call(mtab, x2, base2, deltas, rate, g, w, ev, TB):
+    Kf, nb, EVP = deltas.shape
+    M = len(mtab)
+    J = g.shape[0]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # g (J,)
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # w (J,)
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # rate (1,)
+        pl.BlockSpec((TB, EVP), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TB, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Kf, TB, EVP), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((M, TB, LANE), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((M, TB, EVP), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((M, TB, EVP), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((M, nb, LANE), x2.dtype),
+        jax.ShapeDtypeStruct((M, nb, EVP), x2.dtype),
+        jax.ShapeDtypeStruct((M, nb, EVP), x2.dtype),
+    ]
+    _, _, extraA, extraB = _fact_halves(Kf)
+    scratch = [
+        pltpu.VMEM((J, TB, EVP), jnp.float32)
+        for _ in range(3 + Kf + extraA + extraB)
+    ]
+    return pl.pallas_call(
+        functools.partial(_fact_stats_kernel, ev, mtab),
+        grid=(nb // TB,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=_interpret(),
+    )(g, w, rate.reshape(1), x2, base2, deltas)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _lse_fact_core(x2, base2, deltas, rate, g, w, mtab, ev, TB):
+    out, _, _ = _fact_call(mtab, x2, base2, deltas, rate, g, w, ev, TB)
+    return out.sum(-1)
+
+
+def _lse_fact_fwd(x2, base2, deltas, rate, g, w, mtab, ev, TB):
+    out, spl, spd = _fact_call(mtab, x2, base2, deltas, rate, g, w, ev, TB)
+    return out.sum(-1), (spl, spd, x2, base2, rate, g, w)
+
+
+def _lse_fact_bwd(mtab, ev, TB, res, go):
+    spl, spd, x2, base2, rate, g, w = res
+    gsl = go[..., None] * spl  # (M, nb, EVP)
+    mt = jnp.asarray(mtab, spl.dtype)  # (M, Kf)
+    dbase_px = gsl.sum(0)  # (nb, EVP)
+    # base rides a (nb, LANE) lane-replicated input: fold the pixel axis
+    # back onto the first LANE block so d(base2) matches its shape
+    dbase = dbase_px.reshape(
+        dbase_px.shape[0], dbase_px.shape[1] // LANE, LANE
+    ).sum(1)
+    ddeltas = jnp.einsum("mk,mne->kne", mt, gsl)
+    drate = (go[..., None] * spd).sum()
+    return (
+        jnp.zeros_like(x2),
+        dbase,
+        ddeltas,
+        drate.reshape(rate.shape),
+        jnp.zeros_like(g),
+        jnp.zeros_like(w),
+    )
+
+
+_lse_fact_core.defvjp(_lse_fact_fwd, _lse_fact_bwd)
+
+
+def offset_gamma_factored_summed_pallas(value, base, deltas, mtab, rate,
+                                        offset_samples, offset_logits, ev):
+    """Offset-marginalized Gamma log-pdf over all m-configs, event-summed,
+    with the per-config concentration built IN-KERNEL from additive parts.
+
+    :param value: (nb, EVP) lane-padded flat images (padded entries must
+        exceed every offset sample).
+    :param base: (nb,) per-image base concentration (no spots), > 0.
+    :param deltas: (Kf, nb, EVP) per-spot concentration contributions >= 0
+        (padded pixel entries must be 0 or finite).
+    :param mtab: static (M, Kf) 0/1 numpy array of spot-presence configs.
+    :param ev: number of real pixels per image (static).
+    :return: (M, nb) log-probabilities summed over each image's pixels,
+        where config m scores concentration base + sum_k mtab[m,k] deltas[k].
+    """
+    if jnp.ndim(rate) != 0:
+        raise NotImplementedError("factored kernel requires scalar rate")
+    if deltas.dtype != jnp.float32:
+        raise NotImplementedError("pallas kernel is float32-only")
+    Kf, nb, EVP = deltas.shape
+    if EVP % LANE != 0:
+        raise NotImplementedError(f"event axis must be lane-padded: {EVP}")
+    mtab = np.asarray(mtab)
+    M = mtab.shape[0]
+    if mtab.shape[1] != Kf:
+        raise ValueError(f"mtab {mtab.shape} vs deltas Kf={Kf}")
+    if Kf > 6:
+        raise NotImplementedError(
+            f"factored kernel supports up to 6 spot factors, got Kf={Kf}"
+        )
+    J = offset_samples.shape[0]
+    TB = _pick_tile_batch_factored(J, Kf, M, EVP)
+    if TB is None:
+        raise NotImplementedError(
+            f"offset bins x factors too large for VMEM: J={J}, Kf={Kf}"
+        )
+    nb_pad = -(-nb // TB) * TB
+    if nb_pad != nb:
+        pad_v = jnp.max(offset_samples).astype(value.dtype) + 1.0
+        value = jnp.concatenate(
+            [value, jnp.full((nb_pad - nb, EVP), pad_v, value.dtype)], 0
+        )
+        base = jnp.concatenate(
+            [base, jnp.ones((nb_pad - nb,), base.dtype)], 0
+        )
+        deltas = jnp.concatenate(
+            [deltas, jnp.zeros((Kf, nb_pad - nb, EVP), deltas.dtype)], 1
+        )
+    base2 = jnp.broadcast_to(base[:, None], (nb_pad, LANE))
+    mtab_static = tuple(tuple(int(b) for b in row) for row in mtab)
+    return _lse_fact_core(
+        value,
+        base2,
+        deltas,
+        jnp.asarray(rate, deltas.dtype),
+        offset_samples.astype(deltas.dtype),
+        offset_logits.astype(deltas.dtype),
+        mtab_static,
+        ev,
+        TB,
+    )[:, :nb]
+
+
 def offset_gamma_summed_pallas(value, concentration, rate, offset_samples,
                                offset_logits, ev):
     """Offset-marginalized Gamma log-pdf, event-summed inside the kernel.

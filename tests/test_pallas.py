@@ -280,3 +280,120 @@ def test_stirling_lgamma_digamma_golden():
     lg32 = np.asarray(_lgamma_stirling(jnp.asarray(a, jnp.float32)))
     rel = np.abs(lg32 - sp.gammaln(a)) / np.maximum(np.abs(sp.gammaln(a)), 1.0)
     assert rel.max() < 1e-5
+
+
+def _fact_case(Kf=4, nb=12, ev=196, ev_pad=256, J=7, seed=5):
+    """Random factored-likelihood inputs at crosstalk-like magnitudes."""
+    rng = np.random.default_rng(seed)
+    value = rng.integers(95, 3000, size=(nb, ev)).astype(np.float32)
+    base = rng.uniform(10.0, 40.0, size=(nb,)).astype(np.float32)
+    deltas = rng.uniform(0.0, 300.0, size=(Kf, nb, ev)).astype(np.float32)
+    deltas[:, :, rng.integers(0, ev, size=ev // 2)] *= 1e-3  # near-zero px
+    g = np.sort(rng.integers(80, 95, size=J)).astype(np.float32)
+    w = np.log(rng.dirichlet(np.ones(J))).astype(np.float32)
+    rate = np.float32(1.0 / 7.0)
+    value_p = np.concatenate(
+        [value, np.full((nb, ev_pad - ev), g.max() + 1.0, np.float32)], -1
+    )
+    deltas_p = np.concatenate(
+        [deltas, np.zeros((Kf, nb, ev_pad - ev), np.float32)], -1
+    )
+    mtab = np.stack(
+        np.meshgrid(*([np.arange(2)] * Kf), indexing="ij"), -1
+    ).reshape(-1, Kf)
+    return value_p, base, deltas_p, mtab, rate, g, w, ev
+
+
+def test_factored_kernel_matches_xla():
+    """The factored kernel (per-spot exponential factors, in-kernel config
+    assembly) matches the dense-concentration XLA oracle, fwd + grads."""
+    from tapqir_tpu.distributions.ksmogn import offset_gamma_factored_summed
+
+    value_p, base, deltas_p, mtab, rate, g, w, ev = _fact_case()
+
+    def run(use_pallas, v, b, d, r):
+        return offset_gamma_factored_summed(
+            v, b, d, mtab, r, jnp.asarray(g), jnp.asarray(w),
+            ev=ev, use_pallas=use_pallas,
+        )
+
+    args = (jnp.asarray(value_p), jnp.asarray(base), jnp.asarray(deltas_p),
+            jnp.asarray(rate))
+    got = run(True, *args)
+    want = run(False, *args)
+    assert got.shape == (mtab.shape[0], value_p.shape[0])
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=3e-5, atol=1e-2
+    )
+
+    cot = np.asarray(
+        np.random.default_rng(1).normal(size=got.shape), np.float32
+    )
+
+    def loss(use_pallas, b, d, r):
+        return (run(use_pallas, jnp.asarray(value_p), b, d, r) * cot).sum()
+
+    gp = jax.grad(lambda b, d, r: loss(True, b, d, r), argnums=(0, 1, 2))(
+        *args[1:]
+    )
+    gx = jax.grad(lambda b, d, r: loss(False, b, d, r), argnums=(0, 1, 2))(
+        *args[1:]
+    )
+    for a, b_, name in zip(gp, gx, ("base", "deltas", "rate")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-3, atol=2e-3,
+            err_msg=name,
+        )
+    # padded pixels contribute no delta gradient
+    np.testing.assert_array_equal(np.asarray(gp[1][..., ev:]), 0.0)
+
+
+def test_factored_kernel_small_base():
+    """base < 1 flips the sign of (base - 1): the base factor must shift by
+    Lmin instead of Lmax to stay bounded (overflow guard)."""
+    from tapqir_tpu.distributions.ksmogn import offset_gamma_factored_summed
+
+    value_p, base, deltas_p, mtab, rate, g, w, ev = _fact_case(
+        Kf=2, nb=8, seed=9
+    )
+    base = np.full_like(base, 0.05)
+    args = (jnp.asarray(value_p), jnp.asarray(base), jnp.asarray(deltas_p),
+            jnp.asarray(rate))
+    got = offset_gamma_factored_summed(
+        *args[:1], args[1], args[2], mtab, args[3],
+        jnp.asarray(g), jnp.asarray(w), ev=ev, use_pallas=True,
+    )
+    want = offset_gamma_factored_summed(
+        *args[:1], args[1], args[2], mtab, args[3],
+        jnp.asarray(g), jnp.asarray(w), ev=ev, use_pallas=False,
+    )
+    assert np.isfinite(np.asarray(got)).all()
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=3e-5, atol=1e-2
+    )
+
+
+def test_factored_kernel_vmap_matches_loop():
+    """Restart chains vmap the train step through the factored kernel."""
+    from tapqir_tpu.distributions.ksmogn import offset_gamma_factored_summed
+
+    value_p, base, deltas_p, mtab, rate, g, w, ev = _fact_case(Kf=2, nb=8)
+    R = 3
+    rng = np.random.default_rng(7)
+    d_r = jnp.asarray(
+        deltas_p[None] * rng.uniform(0.5, 1.5, size=(R, 1, 1, 1)),
+        jnp.float32,
+    )
+
+    def one(d):
+        return offset_gamma_factored_summed(
+            jnp.asarray(value_p), jnp.asarray(base), d, mtab,
+            jnp.asarray(rate), jnp.asarray(g), jnp.asarray(w),
+            ev=ev, use_pallas=True,
+        )
+
+    got = jax.vmap(one)(d_r)
+    want = jnp.stack([one(d_r[r]) for r in range(R)])
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6
+    )
