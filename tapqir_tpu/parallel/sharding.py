@@ -104,15 +104,19 @@ def make_sharded_grads_fn(model, mesh, num_restarts=None):
                 used.add(entry)
         return used
 
-    # a gradient must be psum'd over exactly the mesh axes its parameter is
+    # a gradient must be summed over exactly the mesh axes its parameter is
     # NOT sharded over: e.g. background_mean_loc is P("aoi", None, None) -
     # every frame shard holds the same aoi-slice but computes a different
-    # local likelihood gradient, so the contributions must be summed over
-    # "frame" (dropping them silently loses those shards' data)
-    psum_axes = {
-        k: tuple(ax for ax in axes if ax not in _spec_axes(spec))
-        for k, spec in param_specs.items()
-    }
+    # local likelihood gradient. Since jax 0.9's varying-manual-axes (vma)
+    # shard_map, `jax.grad` INSIDE shard_map performs this psum itself: the
+    # transpose of the implicit broadcast of an axis-invariant input psums
+    # the cotangent over those axes (verified: an explicit psum on top
+    # multiplies global gradients by the mesh size — the pre-0.9 form of
+    # this function did exactly that). Gradients therefore leave
+    # value_and_grad already invariant over their replicated axes with the
+    # collective issued by AD; the exact-parity tests (test_sharding.py)
+    # pin this contract.
+    del _spec_axes
 
     # a frame-coupled model (hmm: the z-chain spans all frames) must pick the
     # same AOI batch on every frame shard of a mesh row and run its chain
@@ -120,9 +124,12 @@ def make_sharded_grads_fn(model, mesh, num_restarts=None):
     frame_coupled = bool(getattr(model, "frame_coupled", False))
 
     def local_loss(params_local, key, data_local, key_ndx):
-        kwargs = {}
+        # key_ndx is shared by the frame shards of a mesh row: they must
+        # gather the SAME AOI rows in the same order (the hmm chain demands
+        # it; for every model the frame-axis gradient reduction of
+        # AOI-replicated parameters is only aligned under a shared draw)
+        kwargs = {"key_ndx": key_ndx}
         if frame_coupled:
-            kwargs["key_ndx"] = key_ndx
             kwargs["frame_axis"] = "frame" if frame_shards > 1 else None
         return -model.elbo(
             params_local, key, data_local,
@@ -169,10 +176,8 @@ def make_sharded_grads_fn(model, mesh, num_restarts=None):
                 )
             )(params_local, chain_keys, chain_key_ndx)
         loss = jax.lax.psum(loss, axes)
-        grads = {
-            k: jax.lax.psum(g, psum_axes[k]) if psum_axes[k] else g
-            for k, g in grads.items()
-        }
+        # grads: vma-typed AD has already psum'd each gradient over the
+        # axes its parameter is replicated on (see note above)
         return loss, grads
 
     return loss_and_grads

@@ -134,6 +134,7 @@ def test_sharded_gradients_match_emulated_2x2():
     def emulated_loss(params_full):
         tot = 0.0
         for ai in range(n_aoi):
+            key_ndx = jax.random.fold_in(key, ai)
             for fi in range(n_frame):
                 sid = ai * n_frame + fi
                 kk = jax.random.fold_in(key, sid)
@@ -148,6 +149,7 @@ def test_sharded_gradients_match_emulated_2x2():
                 tot = tot - model.elbo(
                     pl, kk, dl,
                     n_shards=n_aoi * n_frame, frame_shards=n_frame,
+                    key_ndx=key_ndx,
                 )
         return tot
 
@@ -513,3 +515,118 @@ def test_sharded_probs_match_single_device_blocks():
                 z_sh[nsl, fsl], z_want, rtol=1e-12,
                 err_msg=f"shard ({ai},{fi})",
             )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_mesh_padding_prime_nt_parity():
+    """Arbitrary (prime) AOI counts shard via masked dead-row padding
+    (Model.pad_for_mesh): the padded sharded loss/gradients exactly match a
+    single-device emulation on the same padded arrays, and dead rows
+    receive exactly zero gradient."""
+    from tapqir_tpu.parallel.sharding import data_partition
+    from tapqir_tpu.utils.dataset import save as save_ds
+
+    data = simulate("cosmos", N=7, F=4, C=1, P=14, seed=0, params=PARAMS)
+    model = models["cosmos"](dtype="double")
+    model.data = data
+    model.path = model.run_path = None
+    model.nbatch_size = 2  # == local shard Nt after padding: deterministic
+    model.fbatch_size = 4
+    model.init_parameters()
+    model._data_dev = model._data_device_arrays()
+    model.tx = optax.adam(0.005)
+    model.opt_state = model._init_opt_state()
+
+    n_aoi = 4
+    mesh = make_mesh(n_aoi, 1)
+    model.pad_for_mesh(mesh)
+    assert model.params["b_loc"].shape[0] == 8
+    assert float(model._data_dev["mask"][7]) == 0.0
+
+    param_specs = model.param_partition()
+    data_specs = data_partition()
+    params_sh, data_sh = shard_params_and_data(
+        mesh, model.params, param_specs, model._data_dev
+    )
+    key = jax.random.PRNGKey(3)
+    loss_sh, grads_sh = jax.jit(make_sharded_grads_fn(model, mesh))(
+        params_sh, key, data_sh
+    )
+    grads_sh = {k: np.asarray(v) for k, v in grads_sh.items()}
+
+    # the dead row's parameters receive exactly zero gradient
+    for name in ("b_loc", "h_loc", "background_mean_loc"):
+        ax = dict(model._window_spec())[name][0]
+        sl = [slice(None)] * grads_sh[name].ndim
+        sl[ax] = slice(7, 8)
+        np.testing.assert_array_equal(
+            grads_sh[name][tuple(sl)], 0.0, err_msg=name
+        )
+
+    def block(arr, spec, ai):
+        idx = []
+        for d, entry in enumerate(spec):
+            if entry == "aoi":
+                b = arr.shape[d] // n_aoi
+                idx.append(slice(ai * b, (ai + 1) * b))
+            else:
+                idx.append(slice(None))
+        return arr[tuple(idx)]
+
+    def emulated_loss(params_full):
+        tot = 0.0
+        for ai in range(n_aoi):
+            kk = jax.random.fold_in(key, ai)
+            pl = {k: block(v, param_specs[k], ai)
+                  for k, v in params_full.items()}
+            dl = {k: block(v, data_specs[k], ai)
+                  for k, v in model._data_dev.items()}
+            tot = tot - model.elbo(pl, kk, dl, n_shards=n_aoi,
+                                   frame_shards=1,
+                                   key_ndx=jax.random.fold_in(key, ai))
+        return tot
+
+    loss_e, grads_e = jax.jit(jax.value_and_grad(emulated_loss))(model.params)
+    np.testing.assert_allclose(float(loss_sh), float(loss_e), rtol=1e-8)
+    for k in grads_e:
+        np.testing.assert_allclose(
+            grads_sh[k], np.asarray(grads_e[k]), rtol=1e-6, atol=1e-8,
+            err_msg=f"gradient mismatch for {k}",
+        )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_mesh_padding_fit_checkpoint_roundtrip(tmp_path):
+    """Prime-Nt mesh fit end-to-end: use_mesh pads, checkpoints are written
+    at the REAL dataset size (interchangeable with single-device runs),
+    posterior arrays come back unpadded, and a resumed mesh fit re-pads."""
+    from tapqir_tpu.utils.dataset import save as save_ds
+
+    data = simulate("cosmos", N=7, F=4, C=1, P=14, seed=1, params=PARAMS)
+    save_ds(data, tmp_path)
+    model = models["cosmos"]()
+    model.load(tmp_path)
+    model.init(lr=0.005, nbatch_size=2, fbatch_size=4)
+    model.use_mesh(make_mesh(4, 1))
+    assert model.params["b_loc"].shape[0] == 8
+    model.checkpoint_interval = 2
+    model.run(4, progress_bar=lambda it: it)
+
+    with np.load(tmp_path / ".tapqir" / "cosmos_model.tpqr") as z:
+        assert z["p::b_loc"].shape[0] == 7
+        assert z["mu::h_loc"].shape[1] == 7
+    assert model.param("b_loc").shape[0] == 7
+
+    z_p, th_p = model.compute_probs_arrays(num_particles=2)
+    assert z_p.shape[0] == 7 and th_p.shape[1] == 7
+
+    # resume on the mesh: checkpoint loads at real size and re-pads
+    m2 = models["cosmos"]()
+    m2.load(tmp_path)
+    m2.init(lr=0.005, nbatch_size=2, fbatch_size=4)
+    assert m2.iter == 4
+    m2.use_mesh(make_mesh(4, 1))
+    assert m2.params["b_loc"].shape[0] == 8
+    m2.checkpoint_interval = 2
+    m2.run(2, progress_bar=lambda it: it)
+    assert m2.iter == 6
