@@ -5,7 +5,14 @@ Gives the denominator for the whole-step-vs-kernel proximity argument
 (VERDICT r3 #1): kernel-only steps/s is the hard ceiling a step could reach
 if everything but the likelihood kernel were free. Timed exactly like
 bench.py: a jitted lax.scan of ``n_steps`` dependent iterations (the
-concentration is nudged by its own gradient so nothing constant-folds).
+inputs are nudged by their own gradients so nothing constant-folds).
+
+Benches BOTH likelihood formulations:
+
+* ``factored`` — the production path (models/*.py): per-spot deltas,
+  config assembly inside the kernel (1 + Kf exps per pixel-offset);
+* ``dense`` — the per-config-concentration kernel it replaced (kept as
+  the general-concentration API), for the A/B record.
 
 Run: python scripts/bench_kernel_only.py [n_steps]
 """
@@ -20,61 +27,93 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def bench_kernel(M, nfc, ev=196, evp=256, J=61, n_steps=200):
-    import jax
+def _offsets(J):
     import jax.numpy as jnp
+
+    centers = jnp.arange(60.0, 60.0 + J)
+    w = jnp.exp(-0.5 * ((centers - 90.0) / 8.0) ** 2)
+    return centers, jnp.log(w / w.sum())
+
+
+def _time_scan(vg, x0, n_steps):
+    import jax
+
+    def run(c):
+        def body(c, _):
+            v, g = vg(c)
+            return jax.tree_util.tree_map(lambda a, b: a + 1e-9 * b, c, g), v
+
+        c, vs = jax.lax.scan(body, c, length=n_steps)
+        return c, vs
+
+    run_n = jax.jit(run)
+    c, vs = run_n(x0)
+    np.asarray(vs)  # compile + warm
+    t0 = time.perf_counter()
+    c, vs = run_n(x0)
+    np.asarray(vs)
+    return n_steps / (time.perf_counter() - t0)
+
+
+def bench_dense(M, nfc, ev=196, evp=256, J=61, n_steps=200):
+    import jax
 
     from tapqir_tpu.distributions.ksmogn import offset_gamma_log_prob_summed
 
-    key = jax.random.PRNGKey(0)
-    k1, k2 = jax.random.split(key)
-    centers = jnp.arange(60.0, 60.0 + J)
-    w = jnp.exp(-0.5 * ((centers - 90.0) / 8.0) ** 2)
-    logits = jnp.log(w / w.sum())
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    centers, logits = _offsets(J)
     obs = jax.random.uniform(k1, (nfc, evp), minval=100.0, maxval=400.0)
     conc0 = jax.random.uniform(k2, (M, nfc, evp), minval=5.0, maxval=100.0)
-    inv_gain = 1.0 / 7.0
 
     def loss(c):
-        lp = offset_gamma_log_prob_summed(
-            obs, c, inv_gain, centers, logits, event_ndims=1, ev=ev
-        )
-        return lp.sum()
+        return offset_gamma_log_prob_summed(
+            obs, c, 1.0 / 7.0, centers, logits, event_ndims=1, ev=ev
+        ).sum()
 
-    vg = jax.value_and_grad(loss)
+    return _time_scan(jax.value_and_grad(loss), conc0, n_steps)
 
-    def run(c, n):
-        def body(c, _):
-            v, g = vg(c)
-            return c + 1e-9 * g, v
 
-        c, vs = jax.lax.scan(body, c, length=n)
-        return c, vs
+def bench_factored(Kf, nfc, ev=196, evp=256, J=61, n_steps=200):
+    import jax
 
-    run_n = jax.jit(lambda c: run(c, n_steps))
-    c, vs = run_n(conc0)
-    np.asarray(vs)  # compile + warm
-    t0 = time.perf_counter()
-    c, vs = run_n(conc0)
-    np.asarray(vs)
-    dt = time.perf_counter() - t0
-    return n_steps / dt
+    from tapqir_tpu.distributions.ksmogn import offset_gamma_factored_summed
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    centers, logits = _offsets(J)
+    obs = jax.random.uniform(k1, (nfc, evp), minval=100.0, maxval=400.0)
+    base0 = jax.random.uniform(k2, (nfc,), minval=5.0, maxval=40.0)
+    deltas0 = jax.random.uniform(k3, (Kf, nfc, evp), minval=0.0, maxval=80.0)
+    mtab = np.stack(
+        np.meshgrid(*([np.arange(2)] * Kf), indexing="ij"), -1
+    ).reshape(-1, Kf)
+
+    def loss(x):
+        base, deltas = x
+        return offset_gamma_factored_summed(
+            obs, base, deltas, mtab, 1.0 / 7.0, centers, logits, ev=ev
+        ).sum()
+
+    return _time_scan(jax.value_and_grad(loss), (base0, deltas0), n_steps)
 
 
 def main():
     n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     shapes = {
-        # M m-configs through the kernel x (n AOIs * f frames * C channels)
-        "cosmos": (4, 10 * 512 * 1),
-        "hmm": (4, 10 * 790 * 1),
-        "crosstalk": (16, 10 * 512 * 2),
+        # (Kf spot factors -> M = 2^Kf configs) x (n * f * C kernel rows)
+        "cosmos": (2, 10 * 512 * 1),
+        "hmm": (2, 10 * 790 * 1),
+        "crosstalk": (4, 10 * 512 * 2),
     }
     out = {}
-    for name, (M, nfc) in shapes.items():
-        sps = bench_kernel(M, nfc, n_steps=n_steps)
+    for name, (Kf, nfc) in shapes.items():
+        sps = bench_factored(Kf, nfc, n_steps=n_steps)
         out[f"{name}_kernel_only_steps_per_sec"] = round(sps, 1)
-        print(f"[kernel-only] {name}: {sps:.1f} steps/s", file=sys.stderr,
-              flush=True)
+        print(f"[kernel-only] {name} factored: {sps:.1f} steps/s",
+              file=sys.stderr, flush=True)
+        sps_d = bench_dense(1 << Kf, nfc, n_steps=n_steps)
+        out[f"{name}_dense_kernel_steps_per_sec"] = round(sps_d, 1)
+        print(f"[kernel-only] {name} dense:    {sps_d:.1f} steps/s",
+              file=sys.stderr, flush=True)
     print(json.dumps(out))
 
 

@@ -71,3 +71,16 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         if "slow" in item.keywords:
             item.add_marker(skip)
+
+
+@pytest.fixture
+def trajectory_golden_check():
+    """Loader for tests/golden/trajectory.py (tests/ is not a package)."""
+    import importlib.util
+    from pathlib import Path
+
+    p = Path(__file__).parent / "golden" / "trajectory.py"
+    spec = importlib.util.spec_from_file_location("_trajectory_golden", p)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.assert_matches_golden

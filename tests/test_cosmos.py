@@ -146,3 +146,10 @@ def test_elbo_reproducible_and_finite(fitted):
     grads = jax.grad(loss)(model.params)
     for k, g in grads.items():
         assert bool(jnp.isfinite(g).all()), f"non-finite grad for {k}"
+
+
+def test_trajectory_golden(fitted, trajectory_golden_check):
+    """Fixed-seed -ELBO trajectory + posterior regression (VERDICT r4 #5):
+    estimator drift moves the iteration-50 loss immediately."""
+    model, _ = fitted
+    trajectory_golden_check(model, "cosmos")

@@ -78,3 +78,9 @@ def test_elbo_finite_grads(fitted):
     assert np.isfinite(float(val))
     for k, g in grads.items():
         assert bool(jnp.isfinite(g).all()), f"non-finite grad for {k}"
+
+
+def test_trajectory_golden(fitted, trajectory_golden_check):
+    """Fixed-seed -ELBO trajectory + posterior regression (VERDICT r4 #5)."""
+    model, _ = fitted
+    trajectory_golden_check(model, "crosstalk")
