@@ -52,7 +52,10 @@ from tapqir_tpu.distributions.core import (
     halfnormal_log_prob,
     std_gamma_sample_packed,
 )
-from tapqir_tpu.distributions.ksmogn import offset_gamma_factored_summed
+from tapqir_tpu.distributions.ksmogn import (
+    offset_gamma_factored_summed,
+    offset_gamma_log_prob_summed,
+)
 from tapqir_tpu.distributions.util import gaussian_spots_flat
 from tapqir_tpu.infer.discrete import (
     log_probs_m,
@@ -562,20 +565,40 @@ class cosmos(Model):
     def _likelihood_deltas(self, obs, b, spots, gain, data):
         """(M, n, f, C) event-summed KSMOGN log-likelihood from spot-major
         rendered spots (K, n, f, C, EVP): config m scores concentration
-        (b + sum_k mtab[m,k] spots_k) / gain via the factored kernel."""
+        base + sum_k mtab[m,k] spots_k/gain.
+
+        ``use_factored=True`` assembles the configs INSIDE the factored
+        Pallas kernel (1 + K exps per pixel-offset); the default builds the
+        (M, batch, EVP) concentration with an XLA einsum and runs the dense
+        summed kernel — measured FASTER end to end on v5e despite the 2^K
+        exps (the factored kernel's extra VMEM staging traffic outweighs
+        its exp savings at these shapes; kernel-only A/B in
+        scripts/bench_kernel_only.py)."""
         n_, f_, C_ = obs.shape[:3]
         ev_pad = obs.shape[-1]
         K = spots.shape[0]
         P = self.data.P
         mtab_np = m_configs(K)  # static (M, K)
-        return offset_gamma_factored_summed(
-            obs.reshape(n_ * f_ * C_, ev_pad),
-            b.reshape(-1) / gain,
-            spots.reshape(K, n_ * f_ * C_, ev_pad) / gain,
-            mtab_np, 1.0 / gain,
-            data["offset_samples"], data["offset_logits"],
-            ev=P * P, use_pallas=self.use_pallas,
-        ).reshape(mtab_np.shape[0], n_, f_, C_)  # (M, n, f, C)
+        nfc = n_ * f_ * C_
+        base = b.reshape(-1) / gain
+        deltas = spots.reshape(K, nfc, ev_pad) / gain
+        if getattr(self, "use_factored", False):
+            out = offset_gamma_factored_summed(
+                obs.reshape(nfc, ev_pad), base, deltas,
+                mtab_np, 1.0 / gain,
+                data["offset_samples"], data["offset_logits"],
+                ev=P * P, use_pallas=self.use_pallas,
+            )
+        else:
+            conc = base[None, :, None] + jnp.einsum(
+                "mk,knp->mnp", jnp.asarray(mtab_np, deltas.dtype), deltas
+            )
+            out = offset_gamma_log_prob_summed(
+                obs.reshape(nfc, ev_pad), conc, 1.0 / gain,
+                data["offset_samples"], data["offset_logits"],
+                event_ndims=1, use_pallas=self.use_pallas, ev=P * P,
+            )
+        return out.reshape(mtab_np.shape[0], n_, f_, C_)  # (M, n, f, C)
 
     # -- posterior probabilities (reference: cosmos.py:609-672) ----------------
     def _probs_batch(self, pc, key, ndx, fdx, data, num_particles):

@@ -15,7 +15,10 @@ import numpy as np
 
 from tapqir_tpu import constraints
 from tapqir_tpu.distributions.core import dirichlet_log_prob, dirichlet_sample
-from tapqir_tpu.distributions.ksmogn import offset_gamma_factored_summed
+from tapqir_tpu.distributions.ksmogn import (
+    offset_gamma_factored_summed,
+    offset_gamma_log_prob_summed,
+)
 from tapqir_tpu.distributions.util import gaussian_spots_flat
 from tapqir_tpu.infer.discrete import m_configs
 from tapqir_tpu.models.cosmos import cosmos
@@ -141,16 +144,27 @@ class crosstalk(cosmos):
             target_locs[None, None], P, ev_pad,
         )  # (Q, K, n, f, C, 1, EVP)
         Mf = mtab_full_np.shape[0]
-        deltas = spots[..., 0, :].reshape(Q * K, n_ * f_ * C, ev_pad)
-        loglik = offset_gamma_factored_summed(
-            obs.reshape(n_ * f_ * C, ev_pad),
-            b.reshape(-1) / gain,
-            deltas / gain,
-            mtab_full_np.reshape(Mf, Q * K),
-            1.0 / gain,
-            data["offset_samples"], data["offset_logits"],
-            ev=P * P, use_pallas=self.use_pallas,
-        ).reshape(Mf, n_, f_, C).sum(-1)  # event dims (C, P, P)
+        nfc = n_ * f_ * C
+        deltas = spots[..., 0, :].reshape(Q * K, nfc, ev_pad) / gain
+        base = b.reshape(-1) / gain
+        mtab_flat = mtab_full_np.reshape(Mf, Q * K)
+        if getattr(self, "use_factored", False):
+            out = offset_gamma_factored_summed(
+                obs.reshape(nfc, ev_pad), base, deltas, mtab_flat,
+                1.0 / gain,
+                data["offset_samples"], data["offset_logits"],
+                ev=P * P, use_pallas=self.use_pallas,
+            )
+        else:  # dense path: see cosmos._likelihood_deltas for the A/B
+            conc = base[None, :, None] + jnp.einsum(
+                "mk,knp->mnp", jnp.asarray(mtab_flat, deltas.dtype), deltas
+            )
+            out = offset_gamma_log_prob_summed(
+                obs.reshape(nfc, ev_pad), conc, 1.0 / gain,
+                data["offset_samples"], data["offset_logits"],
+                event_ndims=1, use_pallas=self.use_pallas, ev=P * P,
+            )
+        loglik = out.reshape(Mf, n_, f_, C).sum(-1)  # event dims (C, P, P)
 
         local = (
             wq * (inner_g + term_hw_g + loglik - log_qm_g - term_q_g)
