@@ -532,16 +532,13 @@ class cosmos(Model):
         wq = jnp.exp(log_qm)
 
         # likelihood per m-config (Q == C for cosmos), in the lane-padded
-        # flat pixel layout end-to-end: the per-config concentration is
-        # FACTORED into base + per-spot deltas and assembled INSIDE the
-        # Pallas kernel (1 + K exponentials per (pixel, offset) instead of
-        # 2^K, no (M, batch, EVP) concentration build) — see
-        # ops/offset_gamma.py "factored variant"
+        # flat pixel layout end-to-end (dense einsum + summed kernel by
+        # default; use_factored=True assembles configs inside the factored
+        # kernel — see _likelihood / docs/kernel_analysis.md)
         ev_pad = obs.shape[-1]
-        spots = self._spots_kernel_layout(
-            h, w, xs, ys, target_locs, P, ev_pad
-        )  # (K, n, f, C, EVP)
-        loglik = self._likelihood_deltas(obs, b, spots, gain, data)
+        loglik = self._likelihood(
+            obs, b, h, w, xs, ys, target_locs, gain, data, ev_pad
+        )
 
         return (wq * (inner + term_hw + loglik - log_qm - term_q)).sum(0)  # (n, f, Q)
 
@@ -562,39 +559,47 @@ class cosmos(Model):
         )  # (K, n, f, C, 1, EVP)
         return g[..., 0, :]
 
-    def _likelihood_deltas(self, obs, b, spots, gain, data):
-        """(M, n, f, C) event-summed KSMOGN log-likelihood from spot-major
-        rendered spots (K, n, f, C, EVP): config m scores concentration
-        base + sum_k mtab[m,k] spots_k/gain.
+    def _likelihood(self, obs, b, h, w, xs, ys, target_locs, gain, data,
+                    ev_pad):
+        """(M, n, f, C) event-summed KSMOGN log-likelihood.
 
-        ``use_factored=True`` assembles the configs INSIDE the factored
-        Pallas kernel (1 + K exps per pixel-offset); the default builds the
-        (M, batch, EVP) concentration with an XLA einsum and runs the dense
-        summed kernel — measured FASTER end to end on v5e despite the 2^K
-        exps (the factored kernel's extra VMEM staging traffic outweighs
-        its exp savings at these shapes; kernel-only A/B in
-        scripts/bench_kernel_only.py)."""
+        Default: the round-4-proven dense path — spots rendered spot-LAST
+        (n, f, C, K, EVP), the (M, batch, EVP) concentration built by an
+        XLA einsum, event reduction inside the dense summed Pallas kernel.
+
+        ``use_factored=True``: spots rendered spot-MAJOR (tiny-parameter
+        transpose before the render) and configs assembled INSIDE the
+        factored kernel (1 + K exps per pixel-offset). Measured SLOWER on
+        v5e despite the exp savings (kernel-only A/B in
+        scripts/bench_kernel_only.py; op accounting in
+        docs/kernel_analysis.md) — kept as a tested alternative."""
         n_, f_, C_ = obs.shape[:3]
-        ev_pad = obs.shape[-1]
-        K = spots.shape[0]
+        K = self.K
         P = self.data.P
         mtab_np = m_configs(K)  # static (M, K)
         nfc = n_ * f_ * C_
-        base = b.reshape(-1) / gain
-        deltas = spots.reshape(K, nfc, ev_pad) / gain
         if getattr(self, "use_factored", False):
+            spots = self._spots_kernel_layout(
+                h, w, xs, ys, target_locs, P, ev_pad
+            )  # (K, n, f, C, EVP)
             out = offset_gamma_factored_summed(
-                obs.reshape(nfc, ev_pad), base, deltas,
+                obs.reshape(nfc, ev_pad),
+                b.reshape(-1) / gain,
+                spots.reshape(K, nfc, ev_pad) / gain,
                 mtab_np, 1.0 / gain,
                 data["offset_samples"], data["offset_logits"],
                 ev=P * P, use_pallas=self.use_pallas,
             )
         else:
-            conc = base[None, :, None] + jnp.einsum(
-                "mk,knp->mnp", jnp.asarray(mtab_np, deltas.dtype), deltas
-            )
+            gauss = gaussian_spots_flat(
+                h, w, xs, ys, target_locs, P, ev_pad
+            )  # (n, f, C, K, EVP)
+            gauss_flat = gauss.reshape(nfc, K, ev_pad)
+            img_flat = b.reshape(-1)[None, :, None] + jnp.einsum(
+                "mk,xkp->mxp", jnp.asarray(mtab_np, gauss.dtype), gauss_flat
+            )  # (M, nfc, EVP)
             out = offset_gamma_log_prob_summed(
-                obs.reshape(nfc, ev_pad), conc, 1.0 / gain,
+                obs.reshape(nfc, ev_pad), img_flat / gain, 1.0 / gain,
                 data["offset_samples"], data["offset_logits"],
                 event_ndims=1, use_pallas=self.use_pallas, ev=P * P,
             )

@@ -126,41 +126,49 @@ class crosstalk(cosmos):
 
         # alpha-mixed likelihood: dye q's spot is rendered in every channel c
         # at that channel's target coordinates (reference: ksmogn.py:95-106,
-        # target_locs unsqueezed over the dye axis), scaled by alpha[q, c] at
-        # the HEIGHT (so the render emits spot-major deltas directly). The
-        # 2^(K*Q) global-config concentrations are assembled INSIDE the
-        # factored Pallas kernel from base + the Q*K per-spot deltas — 5
-        # exponentials per (pixel, offset) instead of 16, and no
-        # (16, batch, EVP) concentration build (ops/offset_gamma.py).
+        # target_locs unsqueezed over the dye axis), scaled by alpha[q, c].
+        # Dense default (round-4-proven): (Mf, batch, EVP) concentrations by
+        # einsum + summed kernel; use_factored=True folds alpha into
+        # spot-major deltas and assembles the 2^(K*Q) configs INSIDE the
+        # factored kernel (5 exps per pixel-offset instead of 16) — see
+        # cosmos._likelihood / docs/kernel_analysis.md for the A/B.
         n_, f_ = obs.shape[:2]
         ev_pad = obs.shape[-1]
-
-        def qk_major(a):  # (n, f, Q, K) -> (Q, K, n, f, 1, 1)
-            return jnp.moveaxis(a, (2, 3), (0, 1))[..., None, None]
-
-        h_mixed = qk_major(h) * alpha[:, None, None, None, :, None]
-        spots = gaussian_spots_flat(
-            h_mixed, qk_major(w), qk_major(xs), qk_major(ys),
-            target_locs[None, None], P, ev_pad,
-        )  # (Q, K, n, f, C, 1, EVP)
         Mf = mtab_full_np.shape[0]
         nfc = n_ * f_ * C
-        deltas = spots[..., 0, :].reshape(Q * K, nfc, ev_pad) / gain
-        base = b.reshape(-1) / gain
-        mtab_flat = mtab_full_np.reshape(Mf, Q * K)
         if getattr(self, "use_factored", False):
+
+            def qk_major(a):  # (n, f, Q, K) -> (Q, K, n, f, 1, 1)
+                return jnp.moveaxis(a, (2, 3), (0, 1))[..., None, None]
+
+            h_mixed = qk_major(h) * alpha[:, None, None, None, :, None]
+            spots = gaussian_spots_flat(
+                h_mixed, qk_major(w), qk_major(xs), qk_major(ys),
+                target_locs[None, None], P, ev_pad,
+            )  # (Q, K, n, f, C, 1, EVP)
             out = offset_gamma_factored_summed(
-                obs.reshape(nfc, ev_pad), base, deltas, mtab_flat,
+                obs.reshape(nfc, ev_pad),
+                b.reshape(-1) / gain,
+                spots[..., 0, :].reshape(Q * K, nfc, ev_pad) / gain,
+                mtab_full_np.reshape(Mf, Q * K),
                 1.0 / gain,
                 data["offset_samples"], data["offset_logits"],
                 ev=P * P, use_pallas=self.use_pallas,
             )
-        else:  # dense path: see cosmos._likelihood_deltas for the A/B
-            conc = base[None, :, None] + jnp.einsum(
-                "mk,knp->mnp", jnp.asarray(mtab_flat, deltas.dtype), deltas
-            )
+        else:
+            gauss = gaussian_spots_flat(
+                h[..., None, :], w[..., None, :], xs[..., None, :],
+                ys[..., None, :], target_locs[..., None, :, :], P, ev_pad,
+            )  # (n, f, Q, C, K, EVP)
+            gauss_flat = gauss.reshape(n_ * f_, Q, C, K, ev_pad)
+            img_flat = b.reshape(n_ * f_, C, 1) + jnp.einsum(
+                "gqk,qc,xqckp->gxcp",
+                jnp.asarray(mtab_full_np, gauss.dtype), alpha, gauss_flat,
+            )  # (Mf, nf, C, EVP)
             out = offset_gamma_log_prob_summed(
-                obs.reshape(nfc, ev_pad), conc, 1.0 / gain,
+                obs.reshape(nfc, ev_pad),
+                img_flat.reshape(Mf, nfc, ev_pad) / gain,
+                1.0 / gain,
                 data["offset_samples"], data["offset_logits"],
                 event_ndims=1, use_pallas=self.use_pallas, ev=P * P,
             )

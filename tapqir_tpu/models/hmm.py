@@ -388,13 +388,12 @@ class hmm(cosmos):
         lpw = affine_beta_log_prob(w, 1.5, 2.0, wmin, wmax)
         term_hw = jnp.einsum("mk,nfqk->mnfq", mtab, lph + lpw)
 
-        # flat lane-padded pixel layout end-to-end (see cosmos): spot-major
-        # render + factored in-kernel config assembly and event reduction
+        # flat lane-padded pixel layout end-to-end (see cosmos._likelihood:
+        # dense einsum + summed kernel by default, factored kernel opt-in)
         ev_pad = obs.shape[-1]
-        spots = self._spots_kernel_layout(
-            h, w, xs, ys, target_locs, P, ev_pad
-        )  # (K, n, F, C, EVP)
-        loglik = self._likelihood_deltas(obs, b, spots, gain, data)  # (M, n, F, C)
+        loglik = self._likelihood(
+            obs, b, h, w, xs, ys, target_locs, gain, data, ev_pad
+        )  # (M, n, F, C)
 
         log_qm = jnp.einsum("mk,snfqk->msnfq", mtab, jnp.log(qm)) + jnp.einsum(
             "mk,snfqk->msnfq", 1.0 - mtab, jnp.log1p(-qm)
