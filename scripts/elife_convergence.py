@@ -28,6 +28,7 @@ Run:  python scripts/elife_convergence.py [--model M] [--iters 0] [--out DIR]
 """
 
 import argparse
+import os
 import json
 import sys
 import time
@@ -165,6 +166,14 @@ def main():
     fit_name = args.fit_model or args.model
 
     import jax
+
+    # persistent compile cache: re-invocations of the same workload skip
+    # the multi-minute XLA/Mosaic compiles (content-addressed per program)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("TAPQIR_COMPILE_CACHE", "/tmp/tapqir-jax-cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     from tapqir_tpu.models import models
 
