@@ -665,10 +665,14 @@ class hmm(cosmos):
         zp[N:] = eps
         zp[N:, ..., 0] = 1.0 - (S1 - 1) * eps
 
-        # fresh parameter state, then overwrite from the cosmos fit
+        # fresh parameter state, then overwrite from the cosmos fit. All
+        # the mapping math runs in NUMPY: under a remote-device transport
+        # every eager jnp op is a separate program dispatch, and the dozen
+        # transform inverses below cost minutes of AOT round-trips if
+        # traced (observed on the axon tunnel); the transforms' inverses
+        # are simple closed forms (log / logit / normalized log).
         self.init_parameters()
         params = dict(self.params)
-        tf = self._transforms
 
         for name in params:
             if name in cm.params and np.shape(cm.params[name]) == np.shape(
@@ -676,22 +680,22 @@ class hmm(cosmos):
             ):
                 params[name] = jnp.asarray(cm.params[name], self.dtype)
 
-        # q(m | z): cosmos q(m) (K, Nt, F, Q), broadcast over z
+        def dev(x):
+            return jnp.asarray(np.asarray(x, np.float32), self.dtype)
+
+        # q(m | z): cosmos q(m) (K, Nt, F, Q), broadcast over z; logit
         qm = np.clip(np.asarray(cm.param("m_probs"), np.float64), 1e-3,
                      1.0 - 1e-3)
-        params["m_probs"] = jnp.asarray(
-            tf["m_probs"].inverse(np.broadcast_to(qm, (S1,) + qm.shape)),
-            self.dtype,
-        )
+        qm_full = np.broadcast_to(qm, (S1,) + qm.shape)
+        params["m_probs"] = dev(np.log(qm_full) - np.log1p(-qm_full))
 
         # chain guide: rows = cosmos marginals (prefix products reproduce
-        # the cosmos posterior exactly at step 0)
+        # the cosmos posterior exactly at step 0); simplex inverse = log of
+        # normalized probs
         zt = np.broadcast_to(
             zp[:, :, :, None, :], (Nt, F, C, S1, S1)
         )
-        params["z_trans"] = jnp.asarray(
-            tf["z_trans"].inverse(zt), self.dtype
-        )
+        params["z_trans"] = dev(np.log(zt))  # rows already normalized
 
         # chain prior: empirical start + expected transition counts of the
         # cosmos posterior (on-target AOIs only), lightly smoothed
@@ -702,15 +706,10 @@ class hmm(cosmos):
         # T[q, i, j] ∝ sum_{n, f} q(z_{f-1} = i) q(z_f = j) + 1 pseudo-count
         T = np.einsum("nfqi,nfqj->qij", on[:, :-1], on[:, 1:]) + 1.0
         T /= T.sum(-1, keepdims=True)
-        params["init_mean"] = jnp.asarray(
-            tf["init_mean"].inverse(init_mean), self.dtype
-        )
-        params["trans_mean"] = jnp.asarray(
-            tf["trans_mean"].inverse(T), self.dtype
-        )
-        params["trans_size"] = jnp.asarray(
-            tf["trans_size"].inverse(np.full((self.Q, S1, 1), 10.0)),
-            self.dtype,
+        params["init_mean"] = dev(np.log(init_mean))
+        params["trans_mean"] = dev(np.log(T))
+        params["trans_size"] = dev(
+            np.log(np.full((self.Q, S1, 1), 10.0))
         )
 
         self.params = params
