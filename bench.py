@@ -232,6 +232,15 @@ def bench_model(name, sim_params, C=1, Nt=856, F=790, fbatch=512,
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     unit_suffix = _ensure_device_or_fallback()
+    import jax
+
+    # persistent compile cache: the bench workloads' XLA programs are
+    # content-addressed, so repeat runs skip the multi-minute compiles
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("TAPQIR_COMPILE_CACHE", "/tmp/tapqir-jax-cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     def note(name, v):  # progress to stderr; the driver reads stdout JSON only
         print(f"[bench] {name}: {v:.2f} steps/s", file=sys.stderr, flush=True)
